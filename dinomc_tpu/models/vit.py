@@ -1,0 +1,364 @@
+"""TPU-native Vision Transformer (DINO flavor).
+
+Capability parity with the reference's timm-derived ViT
+(``utils/vision_transformer.py:27-256``):
+  * PatchEmbed with stride == patch size — implemented as a reshape-based
+    patchify + one big matmul (MXU-friendly; no conv needed when
+    stride == kernel).
+  * CLS token + learned positional embeddings with **bicubic interpolation**
+    for arbitrary input sizes (reference ``interpolate_pos_encoding``,
+    ``vision_transformer.py:174-194``) — this is what lets one weight set
+    serve 84–224 px multi-crops and 512 px segmentation inputs.
+  * Pre-norm blocks, qkv bias, GELU MLP (ratio 4), LayerNorm eps 1e-6,
+    per-sample DropPath stochastic depth (``vision_transformer.py:27-46``).
+  * ``get_intermediate_layers`` / attention taps
+    (``vision_transformer.py:218-235``) for UPerNet feature pyramids and
+    attention visualization.
+  * Factories tiny/small/base (``vision_transformer.py:238-256``).
+
+TPU-first design choices (not a translation):
+  * Block parameters are **stacked along a leading layer axis** and the
+    forward is a single ``lax.scan`` over layers: one compiled block body
+    regardless of how many distinct crop resolutions the multi-crop step
+    uses (the reference runs 7 sequential Python-level forwards).
+  * Activations run in bfloat16 (MXU native); LayerNorm statistics and the
+    attention softmax accumulate in float32.
+  * NHWC image layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    img_size: int = 224
+    in_chans: int = 3
+    drop_path_rate: float = 0.0
+    layernorm_eps: float = 1e-6
+    compute_dtype: Any = jnp.bfloat16
+    # Rematerialize each block in backward (trade FLOPs for HBM): without
+    # this, backward through the layer scan stores every attention
+    # probability tensor and OOMs a v5e-16GB at DINO batch sizes.
+    remat: bool = True
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+def vit_tiny(patch_size: int = 16, **kw) -> "ViTConfig":
+    return ViTConfig(patch_size=patch_size, embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> "ViTConfig":
+    return ViTConfig(patch_size=patch_size, embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> "ViTConfig":
+    return ViTConfig(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+VIT_FACTORIES = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """Truncated normal init (±2σ), matching reference trunc_normal_
+    (``utils/utils.py:529-567``) semantics."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_vit(key: jax.Array, cfg: ViTConfig) -> Params:
+    kpe, kcls, kpos, kqkv, kproj, kfc1, kfc2 = jax.random.split(key, 7)
+    D, L = cfg.embed_dim, cfg.depth
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.in_chans
+
+    def zeros(shape):
+        return jnp.zeros(shape, jnp.float32)
+
+    def ones(shape):
+        return jnp.ones(shape, jnp.float32)
+
+    params: Params = {
+        "patch_embed": {
+            # (p*p*C, D): patchify-matmul form of the stride-p conv.
+            "kernel": _trunc_normal(kpe, (patch_dim, D)),
+            "bias": zeros((D,)),
+        },
+        "cls_token": _trunc_normal(kcls, (1, 1, D)),
+        "pos_embed": _trunc_normal(kpos, (1, cfg.num_patches + 1, D)),
+        "blocks": {
+            "norm1": {"scale": ones((L, D)), "bias": zeros((L, D))},
+            "attn": {
+                "qkv": {
+                    "kernel": _trunc_normal(kqkv, (L, D, 3 * D)),
+                    "bias": zeros((L, 3 * D)),
+                },
+                "proj": {
+                    "kernel": _trunc_normal(kproj, (L, D, D)),
+                    "bias": zeros((L, D)),
+                },
+            },
+            "norm2": {"scale": ones((L, D)), "bias": zeros((L, D))},
+            "mlp": {
+                "fc1": {
+                    "kernel": _trunc_normal(kfc1, (L, D, cfg.mlp_dim)),
+                    "bias": zeros((L, cfg.mlp_dim)),
+                },
+                "fc2": {
+                    "kernel": _trunc_normal(kfc2, (L, cfg.mlp_dim, D)),
+                    "bias": zeros((L, D)),
+                },
+            },
+        },
+        "norm": {"scale": ones((D,)), "bias": zeros((D,))},
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, scale, bias, eps):
+    """LayerNorm with float32 statistics."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale + bias
+    return y.astype(x.dtype)
+
+
+def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H//p * W//p, p*p*C) with (ph, pw, c) inner order.
+
+    Non-divisible H/W are truncated to the grid — same semantics as the
+    reference's stride-p conv PatchEmbed, which drops remainder pixels
+    (needed for the 164/124/84 px multi-crop sizes at patch 8)."""
+    B, H, W, C = x.shape
+    gh, gw = H // patch, W // patch
+    x = x[:, : gh * patch, : gw * patch, :]
+    x = x.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, gh, gw, ph, pw, C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, grid_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bicubic-resize the patch position embeddings to a new grid.
+
+    Parity with reference ``interpolate_pos_encoding``
+    (``vision_transformer.py:174-194``): CLS pos kept as-is, patch pos
+    embeddings treated as a (g, g, D) image and resized bicubically.
+    """
+    gh, gw = grid_hw
+    _, n_plus_1, dim = pos_embed.shape
+    n = n_plus_1 - 1
+    g0 = int(math.sqrt(n))
+    if (gh, gw) == (g0, g0):
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].reshape(1, g0, g0, dim).astype(jnp.float32)
+    patch_pos = jax.image.resize(patch_pos, (1, gh, gw, dim), method="bicubic")
+    patch_pos = patch_pos.reshape(1, gh * gw, dim)
+    return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
+
+
+def _attention(x, p_attn, num_heads, return_attn=False):
+    """Dense MHSA. x: (B, N, D) in compute dtype."""
+    B, N, D = x.shape
+    h = num_heads
+    hd = D // h
+    qkv = jnp.einsum("bnd,de->bne", x, p_attn["qkv"]["kernel"].astype(x.dtype))
+    qkv = qkv + p_attn["qkv"]["bias"].astype(x.dtype)
+    qkv = qkv.reshape(B, N, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v)
+    out = out.reshape(B, N, D)
+    out = jnp.einsum("bnd,de->bne", out, p_attn["proj"]["kernel"].astype(x.dtype))
+    out = out + p_attn["proj"]["bias"].astype(x.dtype)
+    if return_attn:
+        return out, attn
+    return out, None
+
+
+def _mlp(x, p_mlp):
+    y = jnp.einsum("bnd,df->bnf", x, p_mlp["fc1"]["kernel"].astype(x.dtype))
+    y = y + p_mlp["fc1"]["bias"].astype(x.dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y = jnp.einsum("bnf,fd->bnd", y, p_mlp["fc2"]["kernel"].astype(x.dtype))
+    y = y + p_mlp["fc2"]["bias"].astype(x.dtype)
+    return y
+
+
+def _drop_path(x, rate, rng, deterministic):
+    """Per-sample stochastic depth (reference ``vision_transformer.py:27-46``)."""
+    if deterministic:
+        return x
+    keep = (1.0 - rate).astype(jnp.float32)
+    B = x.shape[0]
+    mask = jax.random.bernoulli(rng, keep, (B,) + (1,) * (x.ndim - 1))
+    scale = (1.0 / keep).astype(x.dtype)
+    return jnp.where(mask, x * scale, jnp.zeros_like(x))
+
+
+def _block(x, bp, cfg: ViTConfig, dp_rate, rng, deterministic):
+    """One pre-norm transformer block. bp leaves have NO layer axis here."""
+    eps = cfg.layernorm_eps
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], eps)
+    y, _ = _attention(y, bp["attn"], cfg.num_heads)
+    if not deterministic:
+        y = _drop_path(y, dp_rate, r1, deterministic)
+    x = x + y
+    y = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"], eps)
+    y = _mlp(y, bp["mlp"])
+    if not deterministic:
+        y = _drop_path(y, dp_rate, r2, deterministic)
+    x = x + y
+    return x
+
+
+def prepare_tokens(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """Patchify + project + cls + interpolated pos embed. x: (B, H, W, C)."""
+    B, H, W, _ = x.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    dt = cfg.compute_dtype
+    tokens = patchify(x.astype(dt), cfg.patch_size)
+    tokens = jnp.einsum(
+        "bnp,pd->bnd", tokens, params["patch_embed"]["kernel"].astype(dt)
+    )
+    tokens = tokens + params["patch_embed"]["bias"].astype(dt)
+    cls = jnp.broadcast_to(params["cls_token"].astype(dt), (B, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], (gh, gw))
+    return tokens + pos.astype(dt)
+
+
+def _scan_blocks(
+    params: Params,
+    tokens: jnp.ndarray,
+    cfg: ViTConfig,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+    collect_intermediates: bool,
+):
+    """Run all blocks via lax.scan over the stacked layer axis."""
+    L = cfg.depth
+    dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, L)
+    if rng is None:
+        rngs = jnp.zeros((L, 2), dtype=jnp.uint32)
+    else:
+        rngs = jax.random.split(rng, L)
+
+    def block_fn(x, bp, rate, r):
+        r = None if deterministic else r
+        return _block(x, bp, cfg, rate, r, deterministic)
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def body(x, per_layer):
+        bp, rate, r = per_layer
+        y = block_fn(x, bp, rate, r)
+        return y, (y if collect_intermediates else None)
+
+    out, inter = jax.lax.scan(body, tokens, (params["blocks"], dp_rates, rngs))
+    return out, inter
+
+
+def vit_forward(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Full forward; returns the final-LN CLS token (B, D), float32.
+
+    Parity: reference ``VisionTransformer.forward`` (``:209-216``).
+    """
+    tokens = prepare_tokens(params, x, cfg)
+    out, _ = _scan_blocks(params, tokens, cfg, rng, deterministic, False)
+    out = layer_norm(out, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps)
+    return out[:, 0].astype(jnp.float32)
+
+
+def vit_intermediate_layers(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    out_indices: Sequence[int] = (3, 5, 7, 11),
+    apply_norm: bool = True,
+) -> jnp.ndarray:
+    """Token maps from selected blocks, final-LN applied.
+
+    Returns (len(out_indices), B, N+1, D) float32. Parity:
+    ``get_intermediate_layers`` (``vision_transformer.py:227-235``) as used
+    by ``DinoMCBackbone`` (``models/networks.py:208-241``).
+    """
+    tokens = prepare_tokens(params, x, cfg)
+    _, inter = _scan_blocks(params, tokens, cfg, None, True, True)
+    taps = inter[jnp.asarray(out_indices)]
+    if apply_norm:
+        taps = layer_norm(
+            taps, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps
+        )
+    return taps.astype(jnp.float32)
+
+
+def vit_last_selfattention(
+    params: Params, x: jnp.ndarray, cfg: ViTConfig
+) -> jnp.ndarray:
+    """Attention map of the last block: (B, heads, N+1, N+1) float32.
+
+    Parity: ``get_last_selfattention`` (``vision_transformer.py:218-225``),
+    used by the attention-video generator.
+    """
+    tokens = prepare_tokens(params, x, cfg)
+    L = cfg.depth
+    # Run first L-1 blocks via scan, then the last block capturing attention.
+    first = jax.tree_util.tree_map(lambda a: a[: L - 1], params["blocks"])
+    last = jax.tree_util.tree_map(lambda a: a[L - 1], params["blocks"])
+    sub_cfg = dataclasses.replace(cfg, depth=L - 1, drop_path_rate=0.0)
+    out, _ = _scan_blocks({"blocks": first}, tokens, sub_cfg, None, True, False)
+    y = layer_norm(out, last["norm1"]["scale"], last["norm1"]["bias"], cfg.layernorm_eps)
+    _, attn = _attention(y, last["attn"], cfg.num_heads, return_attn=True)
+    return attn.astype(jnp.float32)

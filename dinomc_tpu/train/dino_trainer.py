@@ -1,0 +1,265 @@
+"""DINO-MC training step — single jitted SPMD program.
+
+Parity target: reference ``train_one_epoch`` (``main_dino_mc.py:356-416``)
+and the surrounding setup in ``train_dino`` (``main_dino_mc.py:154-353``):
+student/teacher MultiCropWrapper forwards, DINO loss with centering,
+per-tensor grad clip, last-layer freeze, AdamW/SGD/LARS with per-iteration
+lr/wd schedules, and the EMA teacher momentum update.
+
+TPU-first design:
+  * The whole step (teacher fwd, student fwd over every crop resolution,
+    loss, backward, optimizer, EMA) is ONE jitted function. Params are
+    replicated; the batch is sharded over the ``data`` mesh axis; XLA emits
+    the gradient and center reductions as ICI collectives (the reference's
+    DDP allreduce + ``dist.all_reduce`` of the center, SURVEY.md §2.9).
+  * Multi-resolution crops: one backbone forward per distinct crop shape
+    (resolution-bucketed like ``MultiCropWrapper``, ``utils/utils.py:627-646``)
+    but all inside one XLA program; CLS features are concatenated and run
+    through the head once.
+  * The teacher EMA is a ``tree_map`` over replicated params — no
+    communication (the reference loops per-parameter in Python,
+    ``main_dino_mc.py:403-406``).
+  * bf16 activations; f32 params, optimizer state, loss, and center.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dinomc_tpu.models.vit import ViTConfig, init_vit, vit_forward
+from dinomc_tpu.models.dino_head import (
+    DINOHeadConfig,
+    dino_head_forward,
+    init_dino_head,
+)
+from dinomc_tpu.objectives.dino import dino_loss
+from dinomc_tpu.train import optim
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoConfig:
+    """Static (hashable) training configuration.
+
+    Defaults follow reference argparse defaults (``main_dino_mc.py:46-151``).
+    """
+
+    arch: str = "vit_small"
+    patch_size: int = 8
+    out_dim: int = 65536
+    norm_last_layer: bool = True
+    use_bn_in_head: bool = False
+    drop_path_rate: float = 0.1
+    student_temp: float = 0.1
+    center_momentum: float = 0.9
+    momentum_teacher: float = 0.996
+    clip_grad: float = 3.0
+    freeze_last_layer: int = 1
+    optimizer: str = "adamw"
+    niter_per_ep: int = 1
+    global_crop_size: int = 224
+    n_global_crops: int = 2
+
+    def vit_config(self, student: bool) -> ViTConfig:
+        from dinomc_tpu.models.vit import VIT_FACTORIES
+
+        return VIT_FACTORIES[self.arch](
+            patch_size=self.patch_size,
+            img_size=self.global_crop_size,
+            drop_path_rate=self.drop_path_rate if student else 0.0,
+        )
+
+    def head_config(self) -> DINOHeadConfig:
+        embed = {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
+        return DINOHeadConfig(
+            in_dim=embed,
+            out_dim=self.out_dim,
+            use_bn=self.use_bn_in_head,
+            norm_last_layer=self.norm_last_layer,
+        )
+
+
+@struct.dataclass
+class DinoTrainState:
+    step: jnp.ndarray
+    student: Params
+    teacher: Params
+    opt_state: Dict[str, Any]
+    center: jnp.ndarray
+    rng: jax.Array
+
+
+@struct.dataclass
+class DinoSchedules:
+    """Per-iteration device arrays (see core/schedules.py)."""
+
+    lr: jnp.ndarray  # (total_iters,)
+    wd: jnp.ndarray  # (total_iters,)
+    teacher_momentum: jnp.ndarray  # (total_iters,)
+    teacher_temp: jnp.ndarray  # (epochs,) — indexed by epoch
+
+
+def init_dino_train_state(key: jax.Array, cfg: DinoConfig) -> DinoTrainState:
+    kb, kh, krest = jax.random.split(key, 3)
+    backbone = init_vit(kb, cfg.vit_config(student=True))
+    head = init_dino_head(kh, cfg.head_config())
+    student = {"backbone": backbone, "head": head}
+    # Teacher starts as a copy of the student (reference main_dino_mc.py:262-265).
+    teacher = jax.tree_util.tree_map(jnp.copy, student)
+    opt_init, _ = optim.OPTIMIZERS[cfg.optimizer]
+    return DinoTrainState(
+        step=jnp.zeros((), jnp.int32),
+        student=student,
+        teacher=teacher,
+        opt_state=opt_init(student),
+        center=jnp.zeros((cfg.out_dim,), jnp.float32),
+        rng=krest,
+    )
+
+
+def _masks(cfg: DinoConfig, student: Params):
+    """Weight-decay mask, last-layer mask, frozen-g mask (pytrees of 0/1)."""
+    wd_m = optim.wd_mask(student)
+    last_layer_m = optim.path_mask(student, lambda p: "head/last_layer" in p)
+    if cfg.norm_last_layer:
+        frozen_m = optim.path_mask(student, lambda p: p == "head/last_layer/g")
+    else:
+        frozen_m = None
+    return wd_m, last_layer_m, frozen_m
+
+
+def _forward_crops(
+    params: Params,
+    global_crops: jnp.ndarray,  # (G, B, S, S, 3)
+    local_crops: Tuple[jnp.ndarray, ...],  # each (B, s, s, 3)
+    cfg: DinoConfig,
+    vit_cfg: ViTConfig,
+    head_cfg: DINOHeadConfig,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jnp.ndarray:
+    """Backbone per resolution bucket, one head pass. -> (n_crops, B, K)."""
+    G, B = global_crops.shape[0], global_crops.shape[1]
+    feats = []  # list of (B, D) in crop order
+    gx = global_crops.reshape((G * B,) + global_crops.shape[2:])
+    if rng is not None:
+        rng, r0 = jax.random.split(rng)
+    else:
+        r0 = None
+    f = vit_forward(params["backbone"], gx, vit_cfg, r0, deterministic)
+    feats.extend(jnp.split(f, G, axis=0))
+
+    # Bucket local crops by resolution so same-size crops share one forward
+    # (MultiCropWrapper parity, utils/utils.py:627-646).
+    buckets: Dict[int, list] = {}
+    for idx, lc in enumerate(local_crops):
+        buckets.setdefault(lc.shape[1], []).append((idx, lc))
+    local_feats: Dict[int, jnp.ndarray] = {}
+    for size, items in buckets.items():
+        xs = jnp.concatenate([lc for _, lc in items], axis=0)
+        if rng is not None:
+            rng, rl = jax.random.split(rng)
+        else:
+            rl = None
+        fb = vit_forward(params["backbone"], xs, vit_cfg, rl, deterministic)
+        for (idx, _), fi in zip(items, jnp.split(fb, len(items), axis=0)):
+            local_feats[idx] = fi
+    feats.extend(local_feats[i] for i in range(len(local_crops)))
+
+    all_feats = jnp.concatenate(feats, axis=0)  # (n_crops*B, D)
+    logits = dino_head_forward(params["head"], all_feats, head_cfg)
+    return logits.reshape(len(feats), B, -1)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def dino_train_step(
+    state: DinoTrainState,
+    global_crops: jnp.ndarray,
+    local_crops: Tuple[jnp.ndarray, ...],
+    schedules: DinoSchedules,
+    cfg: DinoConfig,
+) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
+    vit_s = cfg.vit_config(student=True)
+    vit_t = cfg.vit_config(student=False)
+    head_cfg = cfg.head_config()
+
+    step = state.step
+    epoch = step // cfg.niter_per_ep
+    lr = schedules.lr[step]
+    wd = schedules.wd[step]
+    ema_m = schedules.teacher_momentum[step]
+    teacher_temp = schedules.teacher_temp[epoch]
+
+    rng, step_rng = jax.random.split(state.rng)
+
+    # Teacher forward: global views only (main_dino_mc.py:373).
+    teacher_logits = _forward_crops(
+        state.teacher, global_crops, (), cfg, vit_t, head_cfg, None, True
+    )
+
+    def loss_fn(student_params):
+        student_logits = _forward_crops(
+            student_params,
+            global_crops,
+            local_crops,
+            cfg,
+            vit_s,
+            head_cfg,
+            step_rng,
+            False,
+        )
+        loss, new_center = dino_loss(
+            student_logits,
+            teacher_logits,
+            state.center,
+            teacher_temp,
+            cfg.student_temp,
+            cfg.center_momentum,
+        )
+        return loss, new_center
+
+    (loss, new_center), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
+
+    if cfg.clip_grad > 0:
+        grads = optim.clip_gradients_per_tensor(grads, cfg.clip_grad)
+
+    wd_m, last_layer_m, frozen_m = _masks(cfg, state.student)
+    # Cancel the last-layer update entirely while epoch < freeze_last_layer
+    # (reference sets .grad=None, which skips the wd term too,
+    # utils/utils.py:157-162): fold the epoch condition into the frozen mask.
+    frozen_now = (epoch < cfg.freeze_last_layer).astype(jnp.float32)
+    if frozen_m is None:
+        frozen_m = jax.tree_util.tree_map(jnp.zeros_like, last_layer_m)
+    frozen_m = jax.tree_util.tree_map(
+        lambda f, ll: jnp.maximum(f, ll * frozen_now), frozen_m, last_layer_m
+    )
+
+    _, opt_update = optim.OPTIMIZERS[cfg.optimizer]
+    new_student, new_opt_state = opt_update(
+        grads, state.opt_state, state.student, lr, wd, wd_m, frozen_mask=frozen_m
+    )
+
+    # EMA teacher update (main_dino_mc.py:403-406) — pure tree_map.
+    new_teacher = jax.tree_util.tree_map(
+        lambda t, s: ema_m * t + (1.0 - ema_m) * s.astype(jnp.float32),
+        state.teacher,
+        new_student,
+    )
+
+    new_state = DinoTrainState(
+        step=step + 1,
+        student=new_student,
+        teacher=new_teacher,
+        opt_state=new_opt_state,
+        center=new_center,
+        rng=rng,
+    )
+    metrics = {"loss": loss, "lr": lr, "wd": wd, "teacher_momentum": ema_m}
+    return new_state, metrics

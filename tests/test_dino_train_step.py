@@ -1,0 +1,128 @@
+"""End-to-end DINO train-step tests on a tiny model, including the sharded
+multi-device path over the 8-virtual-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinomc_tpu.core import schedules
+from dinomc_tpu.core.mesh import make_mesh, shard_batch, replicate
+from dinomc_tpu.train.dino_trainer import (
+    DinoConfig,
+    DinoSchedules,
+    dino_train_step,
+    init_dino_train_state,
+)
+
+TINY = DinoConfig(
+    arch="vit_tiny",
+    patch_size=8,
+    out_dim=256,
+    drop_path_rate=0.1,
+    niter_per_ep=2,
+    global_crop_size=32,
+    clip_grad=3.0,
+    freeze_last_layer=1,
+)
+
+
+def _schedules(cfg, epochs=2):
+    total = epochs * cfg.niter_per_ep
+    return DinoSchedules(
+        lr=jnp.asarray(schedules.cosine_scheduler(1e-3, 1e-6, epochs, cfg.niter_per_ep)),
+        wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.4, epochs, cfg.niter_per_ep)),
+        teacher_momentum=jnp.asarray(
+            schedules.cosine_scheduler(0.996, 1.0, epochs, cfg.niter_per_ep)
+        ),
+        teacher_temp=jnp.asarray(
+            schedules.teacher_temp_schedule(0.04, 0.07, 1, epochs)
+        ),
+    )
+
+
+def _batch(B=8, n_locals=3):
+    k = jax.random.PRNGKey(0)
+    globals_ = jax.random.normal(k, (2, B, 32, 32, 3), jnp.float32)
+    local_sizes = [24, 24, 16][:n_locals]
+    locals_ = tuple(
+        jax.random.normal(jax.random.PRNGKey(i + 1), (B, s, s, 3), jnp.float32)
+        for i, s in enumerate(local_sizes)
+    )
+    return globals_, locals_
+
+
+def test_train_step_runs_and_loss_finite():
+    state = init_dino_train_state(jax.random.PRNGKey(0), TINY)
+    sch = _schedules(TINY)
+    g, l = _batch()
+    state, metrics = dino_train_step(state, g, l, sch, TINY)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_params_change_and_teacher_follows_ema():
+    state0 = init_dino_train_state(jax.random.PRNGKey(0), TINY)
+    sch = _schedules(TINY)
+    g, l = _batch()
+    s0 = np.asarray(state0.student["backbone"]["patch_embed"]["kernel"])
+    t0 = np.asarray(state0.teacher["backbone"]["patch_embed"]["kernel"])
+    state1, _ = dino_train_step(state0, g, l, sch, TINY)
+    s1 = np.asarray(state1.student["backbone"]["patch_embed"]["kernel"])
+    t1 = np.asarray(state1.teacher["backbone"]["patch_embed"]["kernel"])
+    assert not np.allclose(s0, s1)  # student stepped
+    m = float(sch.teacher_momentum[0])
+    np.testing.assert_allclose(t1, m * t0 + (1 - m) * s1, rtol=1e-4, atol=1e-6)
+
+
+def test_last_layer_frozen_in_first_epoch():
+    state = init_dino_train_state(jax.random.PRNGKey(0), TINY)
+    sch = _schedules(TINY)
+    g, l = _batch()
+    v0 = np.asarray(state.student["head"]["last_layer"]["v"])
+    g0 = np.asarray(state.student["head"]["last_layer"]["g"])
+    # epoch 0 (< freeze_last_layer=1): last layer must not move
+    state, _ = dino_train_step(state, g, l, sch, TINY)
+    np.testing.assert_array_equal(np.asarray(state.student["head"]["last_layer"]["v"]), v0)
+    # step into epoch 1 (niter_per_ep=2)
+    state, _ = dino_train_step(state, g, l, sch, TINY)
+    state, _ = dino_train_step(state, g, l, sch, TINY)
+    assert not np.allclose(np.asarray(state.student["head"]["last_layer"]["v"]), v0)
+    # weight-norm g stays frozen forever when norm_last_layer=True
+    np.testing.assert_array_equal(np.asarray(state.student["head"]["last_layer"]["g"]), g0)
+
+
+def test_center_updates():
+    state = init_dino_train_state(jax.random.PRNGKey(0), TINY)
+    sch = _schedules(TINY)
+    g, l = _batch()
+    state, _ = dino_train_step(state, g, l, sch, TINY)
+    assert float(jnp.abs(state.center).sum()) > 0
+
+
+def test_sharded_train_step_matches_single_device(mesh8):
+    """The same batch, replicated vs sharded over 8 devices, must produce the
+    same loss (SPMD correctness of the global center/gradient reductions)."""
+    state = init_dino_train_state(jax.random.PRNGKey(0), TINY)
+    sch = _schedules(TINY)
+    g, l = _batch(B=8)
+
+    state_r, metrics_single = dino_train_step(state, g, l, sch, TINY)
+
+    state_sh = replicate(mesh8, init_dino_train_state(jax.random.PRNGKey(0), TINY))
+    sch_sh = replicate(mesh8, sch)
+    # shard over batch dim (axis 1 for globals: (G, B, ...) -> shard B)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gsh = jax.device_put(g, NamedSharding(mesh8, P(None, "data")))
+    lsh = tuple(jax.device_put(x, NamedSharding(mesh8, P("data"))) for x in l)
+    state_sh, metrics_sharded = dino_train_step(state_sh, gsh, lsh, sch_sh, TINY)
+
+    np.testing.assert_allclose(
+        float(metrics_single["loss"]), float(metrics_sharded["loss"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_r.center), np.asarray(state_sh.center), rtol=2e-3, atol=1e-5
+    )

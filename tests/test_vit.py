@@ -1,0 +1,110 @@
+"""Shape-contract and semantic tests for the ViT backbone (replacing the
+reference's __main__ smoke blocks, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinomc_tpu.models import vit
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = vit.ViTConfig(
+        patch_size=8, embed_dim=64, depth=4, num_heads=2, img_size=32,
+        compute_dtype=jnp.float32,
+    )
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shape(tiny):
+    cfg, params = tiny
+    x = jnp.ones((2, 32, 32, 3))
+    out = vit.vit_forward(params, x, cfg)
+    assert out.shape == (2, 64)
+    assert out.dtype == jnp.float32
+
+
+def test_arbitrary_resolution_pos_embed(tiny):
+    """Pos-embed bicubic interpolation must admit any multiple of patch size
+    (parity: vision_transformer.py:174-194)."""
+    cfg, params = tiny
+    for size in (16, 24, 48, 64):
+        x = jnp.ones((1, size, size, 3))
+        out = vit.vit_forward(params, x, cfg)
+        assert out.shape == (1, 64)
+
+
+def test_non_divisible_input_truncates(tiny):
+    """164px-style inputs (not multiples of patch) must work via conv-like
+    truncation (the reference's stride-8 PatchEmbed drops remainder pixels)."""
+    cfg, params = tiny
+    out = vit.vit_forward(params, jnp.ones((1, 36, 44, 3)), cfg)
+    assert out.shape == (1, 64)
+    # equals the forward on the truncated image
+    out2 = vit.vit_forward(params, jnp.ones((1, 32, 40, 3)), cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_non_square_input(tiny):
+    cfg, params = tiny
+    out = vit.vit_forward(params, jnp.ones((1, 32, 48, 3)), cfg)
+    assert out.shape == (1, 64)
+
+
+def test_pos_embed_identity_at_native_grid(tiny):
+    cfg, params = tiny
+    pe = vit.interpolate_pos_embed(params["pos_embed"], (cfg.grid, cfg.grid))
+    np.testing.assert_array_equal(np.asarray(pe), np.asarray(params["pos_embed"]))
+
+
+def test_patchify_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    p = vit.patchify(x, 4)
+    assert p.shape == (2, 4, 48)
+    # first patch equals the top-left 4x4 block in (ph, pw, c) order
+    np.testing.assert_array_equal(
+        np.asarray(p[0, 0]), np.asarray(x[0, :4, :4, :]).reshape(-1)
+    )
+
+
+def test_intermediate_layers(tiny):
+    cfg, params = tiny
+    x = jnp.ones((2, 32, 32, 3))
+    taps = vit.vit_intermediate_layers(params, x, cfg, out_indices=(0, 1, 3))
+    n_tokens = (32 // 8) ** 2 + 1
+    assert taps.shape == (3, 2, n_tokens, 64)
+    # last tap with norm must equal the full forward's pre-CLS-extraction output
+    out = vit.vit_forward(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(taps[-1][:, 0]), np.asarray(out), atol=1e-5)
+
+
+def test_last_selfattention(tiny):
+    cfg, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    attn = vit.vit_last_selfattention(params, x, cfg)
+    n = (32 // 8) ** 2 + 1
+    assert attn.shape == (2, cfg.num_heads, n, n)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_drop_path_changes_output_and_is_deterministic_off(tiny):
+    cfg, params = tiny
+    cfg_dp = vit.ViTConfig(
+        patch_size=8, embed_dim=64, depth=4, num_heads=2, img_size=32,
+        drop_path_rate=0.5, compute_dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+    det = vit.vit_forward(params, x, cfg_dp, None, True)
+    det2 = vit.vit_forward(params, x, cfg_dp, None, True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    stoch = vit.vit_forward(params, x, cfg_dp, jax.random.PRNGKey(3), False)
+    assert not np.allclose(np.asarray(det), np.asarray(stoch))
+
+
+def test_factories():
+    for name, dim, heads in (("vit_tiny", 192, 3), ("vit_small", 384, 6), ("vit_base", 768, 12)):
+        cfg = vit.VIT_FACTORIES[name](patch_size=16)
+        assert cfg.embed_dim == dim and cfg.num_heads == heads and cfg.depth == 12
