@@ -1,0 +1,93 @@
+"""Encoder registry: one interface over ViT / ResNet-50 / WRN-50-2 / Swin-T.
+
+The reference instantiates backbones by name and sniffs the embedding dim
+from the fc/head weight shape (``main_dino_mc.py:209-229``,
+``main_eurosat.py:32-48``). Here each architecture exposes
+``init(key) -> (params, state)`` and
+``apply(params, state, x, train, rng) -> (embeddings, new_state)`` where
+``state`` is the (possibly empty) BatchNorm running-stats tree — so the
+DINO/classification trainers are architecture-agnostic. BN batch stats
+reduce globally under SPMD (SyncBN parity, ``main_dino_mc.py:250-252``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dinomc_tpu.models import resnet as rn
+from dinomc_tpu.models import swin as sw
+from dinomc_tpu.models import vit as vt
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    arch: str  # vit_tiny|vit_small|vit_base|resnet50|wide_resnet50_2|swin_t
+    patch_size: int = 16  # ViT only
+    img_size: int = 224
+    drop_path_rate: float = 0.0  # ViT student only
+
+    @property
+    def is_vit(self) -> bool:
+        return self.arch.startswith("vit_")
+
+    @property
+    def has_bn(self) -> bool:
+        return self.arch in ("resnet50", "wide_resnet50_2")
+
+    @property
+    def embed_dim(self) -> int:
+        if self.is_vit:
+            return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
+        if self.arch in ("resnet50", "wide_resnet50_2"):
+            return 2048
+        if self.arch == "swin_t":
+            return 768
+        raise ValueError(self.arch)
+
+    def _vit_cfg(self) -> vt.ViTConfig:
+        return vt.VIT_FACTORIES[self.arch](
+            patch_size=self.patch_size,
+            img_size=self.img_size,
+            drop_path_rate=self.drop_path_rate,
+        )
+
+    def _rn_cfg(self) -> rn.ResNetConfig:
+        return rn.RESNET_FACTORIES[self.arch]()
+
+    def init(self, key: jax.Array) -> Tuple[Params, Params]:
+        if self.is_vit:
+            return vt.init_vit(key, self._vit_cfg()), {}
+        if self.has_bn:
+            return rn.init_resnet(key, self._rn_cfg())
+        if self.arch == "swin_t":
+            return sw.init_swin(key, sw.swin_t()), {}
+        raise ValueError(self.arch)
+
+    def apply(
+        self,
+        params: Params,
+        state: Params,
+        x: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, Params]:
+        """x (B, H, W, 3) -> (B, embed_dim) float32 embeddings."""
+        if self.is_vit:
+            out = vt.vit_forward(params, x, self._vit_cfg(), rng, not train)
+            return out, state
+        if self.has_bn:
+            return rn.resnet_forward(params, state, x, self._rn_cfg(), train)
+        if self.arch == "swin_t":
+            return sw.swin_forward(params, x, sw.swin_t(), not train, rng), state
+        raise ValueError(self.arch)
+
+
+ENCODER_ARCHS = (
+    "vit_tiny", "vit_small", "vit_base", "resnet50", "wide_resnet50_2", "swin_t",
+)

@@ -1,10 +1,11 @@
-"""DINO-MC training step — single jitted SPMD program.
+"""DINO-MC training step — single jitted SPMD program, any encoder family.
 
 Parity target: reference ``train_one_epoch`` (``main_dino_mc.py:356-416``)
 and the surrounding setup in ``train_dino`` (``main_dino_mc.py:154-353``):
-student/teacher MultiCropWrapper forwards, DINO loss with centering,
-per-tensor grad clip, last-layer freeze, AdamW/SGD/LARS with per-iteration
-lr/wd schedules, and the EMA teacher momentum update.
+student/teacher MultiCropWrapper forwards over ViT-S/8, ResNet-50,
+WRN-50-2 or Swin-T encoders, DINO loss with centering, per-tensor grad
+clip, last-layer freeze, AdamW/SGD/LARS with per-iteration lr/wd schedules,
+and the EMA teacher momentum update.
 
 TPU-first design:
   * The whole step (teacher fwd, student fwd over every crop resolution,
@@ -14,11 +15,13 @@ TPU-first design:
     DDP allreduce + ``dist.all_reduce`` of the center, SURVEY.md §2.9).
   * Multi-resolution crops: one backbone forward per distinct crop shape
     (resolution-bucketed like ``MultiCropWrapper``, ``utils/utils.py:627-646``)
-    but all inside one XLA program; CLS features are concatenated and run
+    but all inside one XLA program; embeddings are concatenated and run
     through the head once.
   * The teacher EMA is a ``tree_map`` over replicated params — no
     communication (the reference loops per-parameter in Python,
-    ``main_dino_mc.py:403-406``).
+    ``main_dino_mc.py:403-406``). BatchNorm running stats (convnets) are
+    buffers, not params: like the reference, the teacher's BN state is
+    updated by its own train-mode forwards, not EMA'd.
   * bf16 activations; f32 params, optimizer state, loss, and center.
 """
 
@@ -32,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from dinomc_tpu.models.vit import ViTConfig, init_vit, vit_forward
+from dinomc_tpu.models.encoders import EncoderConfig
 from dinomc_tpu.models.dino_head import (
     DINOHeadConfig,
     dino_head_forward,
@@ -67,19 +70,17 @@ class DinoConfig:
     global_crop_size: int = 224
     n_global_crops: int = 2
 
-    def vit_config(self, student: bool) -> ViTConfig:
-        from dinomc_tpu.models.vit import VIT_FACTORIES
-
-        return VIT_FACTORIES[self.arch](
+    def encoder(self, student: bool) -> EncoderConfig:
+        return EncoderConfig(
+            arch=self.arch,
             patch_size=self.patch_size,
             img_size=self.global_crop_size,
             drop_path_rate=self.drop_path_rate if student else 0.0,
         )
 
     def head_config(self) -> DINOHeadConfig:
-        embed = {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
         return DINOHeadConfig(
-            in_dim=embed,
+            in_dim=self.encoder(True).embed_dim,
             out_dim=self.out_dim,
             use_bn=self.use_bn_in_head,
             norm_last_layer=self.norm_last_layer,
@@ -89,8 +90,10 @@ class DinoConfig:
 @struct.dataclass
 class DinoTrainState:
     step: jnp.ndarray
-    student: Params
+    student: Params  # {'backbone', 'head'}
     teacher: Params
+    student_state: Params  # BN running stats ({} for ViT/Swin)
+    teacher_state: Params
     opt_state: Dict[str, Any]
     center: jnp.ndarray
     rng: jax.Array
@@ -108,7 +111,7 @@ class DinoSchedules:
 
 def init_dino_train_state(key: jax.Array, cfg: DinoConfig) -> DinoTrainState:
     kb, kh, krest = jax.random.split(key, 3)
-    backbone = init_vit(kb, cfg.vit_config(student=True))
+    backbone, bb_state = cfg.encoder(student=True).init(kb)
     head = init_dino_head(kh, cfg.head_config())
     student = {"backbone": backbone, "head": head}
     # Teacher starts as a copy of the student (reference main_dino_mc.py:262-265).
@@ -118,6 +121,8 @@ def init_dino_train_state(key: jax.Array, cfg: DinoConfig) -> DinoTrainState:
         step=jnp.zeros((), jnp.int32),
         student=student,
         teacher=teacher,
+        student_state=bb_state,
+        teacher_state=jax.tree_util.tree_map(jnp.copy, bb_state),
         opt_state=opt_init(student),
         center=jnp.zeros((cfg.out_dim,), jnp.float32),
         rng=krest,
@@ -137,15 +142,16 @@ def _masks(cfg: DinoConfig, student: Params):
 
 def _forward_crops(
     params: Params,
+    bn_state: Params,
     global_crops: jnp.ndarray,  # (G, B, S, S, 3)
     local_crops: Tuple[jnp.ndarray, ...],  # each (B, s, s, 3)
-    cfg: DinoConfig,
-    vit_cfg: ViTConfig,
+    enc: EncoderConfig,
     head_cfg: DINOHeadConfig,
     rng: Optional[jax.Array],
-    deterministic: bool,
-) -> jnp.ndarray:
-    """Backbone per resolution bucket, one head pass. -> (n_crops, B, K)."""
+    train: bool,
+) -> Tuple[jnp.ndarray, Params]:
+    """Backbone per resolution bucket, one head pass.
+    Returns ((n_crops, B, K) logits, new_bn_state)."""
     G, B = global_crops.shape[0], global_crops.shape[1]
     feats = []  # list of (B, D) in crop order
     gx = global_crops.reshape((G * B,) + global_crops.shape[2:])
@@ -153,7 +159,7 @@ def _forward_crops(
         rng, r0 = jax.random.split(rng)
     else:
         r0 = None
-    f = vit_forward(params["backbone"], gx, vit_cfg, r0, deterministic)
+    f, bn_state = enc.apply(params["backbone"], bn_state, gx, train, r0)
     feats.extend(jnp.split(f, G, axis=0))
 
     # Bucket local crops by resolution so same-size crops share one forward
@@ -162,20 +168,20 @@ def _forward_crops(
     for idx, lc in enumerate(local_crops):
         buckets.setdefault(lc.shape[1], []).append((idx, lc))
     local_feats: Dict[int, jnp.ndarray] = {}
-    for size, items in buckets.items():
+    for size, items in sorted(buckets.items()):
         xs = jnp.concatenate([lc for _, lc in items], axis=0)
         if rng is not None:
             rng, rl = jax.random.split(rng)
         else:
             rl = None
-        fb = vit_forward(params["backbone"], xs, vit_cfg, rl, deterministic)
+        fb, bn_state = enc.apply(params["backbone"], bn_state, xs, train, rl)
         for (idx, _), fi in zip(items, jnp.split(fb, len(items), axis=0)):
             local_feats[idx] = fi
     feats.extend(local_feats[i] for i in range(len(local_crops)))
 
     all_feats = jnp.concatenate(feats, axis=0)  # (n_crops*B, D)
     logits = dino_head_forward(params["head"], all_feats, head_cfg)
-    return logits.reshape(len(feats), B, -1)
+    return logits.reshape(len(feats), B, -1), bn_state
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -186,8 +192,8 @@ def dino_train_step(
     schedules: DinoSchedules,
     cfg: DinoConfig,
 ) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
-    vit_s = cfg.vit_config(student=True)
-    vit_t = cfg.vit_config(student=False)
+    enc_s = cfg.encoder(student=True)
+    enc_t = cfg.encoder(student=False)
     head_cfg = cfg.head_config()
 
     step = state.step
@@ -199,21 +205,30 @@ def dino_train_step(
 
     rng, step_rng = jax.random.split(state.rng)
 
-    # Teacher forward: global views only (main_dino_mc.py:373).
-    teacher_logits = _forward_crops(
-        state.teacher, global_crops, (), cfg, vit_t, head_cfg, None, True
+    # Teacher forward: global views only (main_dino_mc.py:373). The teacher
+    # stays in train mode (reference never calls .eval()): BN uses batch
+    # stats and updates its own running stats.
+    teacher_logits, new_teacher_state = _forward_crops(
+        state.teacher,
+        state.teacher_state,
+        global_crops,
+        (),
+        enc_t,
+        head_cfg,
+        None,
+        enc_t.has_bn,
     )
 
     def loss_fn(student_params):
-        student_logits = _forward_crops(
+        student_logits, new_bn = _forward_crops(
             student_params,
+            state.student_state,
             global_crops,
             local_crops,
-            cfg,
-            vit_s,
+            enc_s,
             head_cfg,
             step_rng,
-            False,
+            True,
         )
         loss, new_center = dino_loss(
             student_logits,
@@ -223,9 +238,11 @@ def dino_train_step(
             cfg.student_temp,
             cfg.center_momentum,
         )
-        return loss, new_center
+        return loss, (new_center, new_bn)
 
-    (loss, new_center), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
+    (loss, (new_center, new_student_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.student)
 
     if cfg.clip_grad > 0:
         grads = optim.clip_gradients_per_tensor(grads, cfg.clip_grad)
@@ -257,6 +274,8 @@ def dino_train_step(
         step=step + 1,
         student=new_student,
         teacher=new_teacher,
+        student_state=new_student_state,
+        teacher_state=new_teacher_state,
         opt_state=new_opt_state,
         center=new_center,
         rng=rng,

@@ -1,0 +1,190 @@
+"""Tests for the classification suite: fine-tune trainer, k-NN, linear
+probe, EuroSAT/BigEarthNet/OSCD data modules, siamese change detection."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinomc_tpu.data import classification as cd
+from dinomc_tpu.data.oscd import OSCDTiles, collate_pairs
+from dinomc_tpu.eval.knn import knn_accuracy, knn_predict
+from dinomc_tpu.eval.linear_probe import train_linear_probe
+from dinomc_tpu.models.siamese import SiameseConfig
+from dinomc_tpu.train.cls_trainer import (
+    ClsConfig,
+    cls_predict,
+    cls_train_step,
+    init_cls_train_state,
+)
+from dinomc_tpu.train.oscd_trainer import (
+    OSCDConfig,
+    exponential_lr,
+    init_oscd_train_state,
+    oscd_predict,
+    oscd_train_step,
+)
+
+CLS = ClsConfig(arch="vit_tiny", patch_size=8, num_classes=5)
+
+
+def test_cls_train_step_and_predict():
+    state = init_cls_train_state(jax.random.PRNGKey(0), CLS)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    y = jnp.asarray([0, 1, 2, 3])
+    state, m = cls_train_step(state, x, y, jnp.float32(0.01), jnp.float32(0.0), CLS)
+    assert np.isfinite(float(m["loss"]))
+    logits = cls_predict(state.params, state.bn_state, x, CLS)
+    assert logits.shape == (4, 5)
+
+
+def test_cls_multilabel():
+    cfg = ClsConfig(arch="vit_tiny", patch_size=8, num_classes=19, multilabel=True)
+    state = init_cls_train_state(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (2, 19)) > 0.7).astype(jnp.float32)
+    state, m = cls_train_step(state, x, y, jnp.float32(0.01), jnp.float32(0.0), cfg)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_cls_freeze_backbone():
+    cfg = ClsConfig(arch="vit_tiny", patch_size=8, num_classes=3, freeze_backbone=True)
+    state = init_cls_train_state(jax.random.PRNGKey(0), cfg)
+    bb0 = np.asarray(state.params["backbone"]["patch_embed"]["kernel"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    state, _ = cls_train_step(
+        state, x, jnp.asarray([0, 1]), jnp.float32(0.1), jnp.float32(0.0), cfg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["patch_embed"]["kernel"]), bb0
+    )
+    assert not np.allclose(np.asarray(state.params["fc"]["kernel"]).sum(), 0)
+
+
+def test_knn_separable():
+    rng = np.random.RandomState(0)
+    c0 = rng.randn(50, 8) + np.array([5.0] + [0] * 7)
+    c1 = rng.randn(50, 8) - np.array([5.0] + [0] * 7)
+    train = np.concatenate([c0, c1]).astype(np.float32)
+    labels = np.array([0] * 50 + [1] * 50)
+    test = np.concatenate([c0[:10] + 0.1, c1[:10] - 0.1]).astype(np.float32)
+    test_labels = np.array([0] * 10 + [1] * 10)
+    accs = knn_accuracy(
+        jnp.asarray(train), jnp.asarray(labels), jnp.asarray(test),
+        jnp.asarray(test_labels), ks=(5, 20), num_classes=2,
+    )
+    assert accs[5] == 100.0 and accs[20] == 100.0
+
+
+def test_linear_probe_separable():
+    rng = np.random.RandomState(1)
+    X = rng.randn(200, 16).astype(np.float32)
+    w_true = rng.randn(16, 3).astype(np.float32)
+    y = (X @ w_true).argmax(1)
+    out = train_linear_probe(X, y, X, y, num_classes=3, epochs=30, batch_size=64)
+    assert out["top1"] > 90.0
+
+
+# ---------------------------------------------------------------------------
+# data modules
+# ---------------------------------------------------------------------------
+
+
+def test_image_folder(tmp_path):
+    from PIL import Image
+
+    for cls in ("Forest", "River"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(32, 32, 3) * 255).astype(np.uint8)
+            ).save(d / f"{i}.png")
+    ds = cd.ImageFolderDataset(str(tmp_path), image_size=24)
+    assert ds.classes == ["Forest", "River"]
+    img, label = ds[0]
+    assert img.shape == (24, 24, 3) and label == 0
+    assert len(ds) == 4
+
+
+def test_center_crop():
+    x = np.arange(1 * 6 * 6 * 1, dtype=np.float32).reshape(1, 6, 6, 1)
+    c = cd.center_crop(x, 2)
+    np.testing.assert_array_equal(c[0, :, :, 0], x[0, 2:4, 2:4, 0])
+
+
+def test_ben19_label_mapping():
+    y = cd.clc_labels_to_multihot(
+        ["Continuous urban fabric", "Sea and ocean", "Port areas"]  # last dropped
+    )
+    assert y.sum() == 2
+    assert y[list(cd.BEN19_CLASSES).index("Urban fabric")] == 1
+    assert y[list(cd.BEN19_CLASSES).index("Marine waters")] == 1
+    assert len(cd.BEN19_CLASSES) == 19
+
+
+def test_bigearthnet_folder(tmp_path):
+    from PIL import Image
+
+    for p in range(2):
+        d = tmp_path / f"patch{p}"
+        d.mkdir()
+        Image.fromarray(
+            (np.random.RandomState(p).rand(16, 16, 3) * 255).astype(np.uint8)
+        ).save(d / "x_B04.png")
+        with open(d / "x_labels_metadata.json", "w") as f:
+            json.dump({"labels": ["Pastures", "Mixed forest"]}, f)
+    ds = cd.BigEarthNetFolder(str(tmp_path), image_size=16)
+    img, y = ds[0]
+    assert img.shape == (16, 16, 3)
+    assert y.sum() == 2 and y.shape == (19,)
+
+
+def test_oscd_tiles_and_trainer(tmp_path):
+    from PIL import Image
+
+    city = tmp_path / "beirut"
+    for sub in ("imgs_1", "imgs_2", "cm"):
+        (city / sub).mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    Image.fromarray((rng.rand(96, 192, 3) * 255).astype(np.uint8)).save(
+        city / "imgs_1" / "a.png"
+    )
+    Image.fromarray((rng.rand(96, 192, 3) * 255).astype(np.uint8)).save(
+        city / "imgs_2" / "a.png"
+    )
+    Image.fromarray(
+        ((rng.rand(96, 192) > 0.5) * 255).astype(np.uint8)
+    ).convert("RGB").save(city / "cm" / "a.png")
+
+    ds = OSCDTiles(str(tmp_path), tile=96)
+    assert len(ds) == 2
+    x1, x2, m = collate_pairs([ds[0], ds[1]])
+    assert x1.shape == (2, 96, 96, 3) and m.shape == (2, 96, 96)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+
+    cfg = OSCDConfig(model=SiameseConfig(decoder_channels=16))
+    # shrink encoder for test speed
+    import dataclasses as dc
+
+    from dinomc_tpu.models import resnet as rn
+
+    small = dc.replace(cfg.model, arch="resnet50")
+    state = init_oscd_train_state(jax.random.PRNGKey(0), cfg)
+    x1j, x2j, mj = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m)
+    enc0 = np.asarray(state.params["encoder"]["stem"]["conv"]["kernel"])
+    state, metrics = oscd_train_step(state, x1j, x2j, mj, jnp.float32(1e-3), cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen encoder must not move
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["stem"]["conv"]["kernel"]), enc0
+    )
+    logits = oscd_predict(state.params, state.bn_state, x1j, x2j, cfg)
+    assert logits.shape == (2, 96, 96)
+
+
+def test_exponential_lr():
+    assert exponential_lr(1e-3, 0) == 1e-3
+    np.testing.assert_allclose(exponential_lr(1e-3, 2), 1e-3 * 0.95**2)

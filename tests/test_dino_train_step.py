@@ -102,6 +102,27 @@ def test_center_updates():
     assert float(jnp.abs(state.center).sum()) > 0
 
 
+def test_convnet_and_swin_encoders_train():
+    """The DINO step must run for resnet50 and swin_t encoders too
+    (reference main_dino_mc.py:223-229); BN state must update for resnet."""
+    for arch in ("resnet50", "swin_t"):
+        cfg = dataclasses.replace(
+            TINY, arch=arch, patch_size=16, out_dim=64, global_crop_size=32
+        )
+        state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+        sch = _schedules(cfg)
+        g, l = _batch(B=4, n_locals=2)
+        state, metrics = dino_train_step(state, g, l, sch, cfg)
+        assert np.isfinite(float(metrics["loss"])), arch
+        if arch == "resnet50":
+            assert float(
+                jnp.abs(state.student_state["stem"]["bn"]["mean"]).sum()
+            ) > 0  # BN stats moved
+            assert float(
+                jnp.abs(state.teacher_state["stem"]["bn"]["mean"]).sum()
+            ) > 0  # teacher BN stats updated by its own forward
+
+
 def test_sharded_train_step_matches_single_device(mesh8):
     """The same batch, replicated vs sharded over 8 devices, must produce the
     same loss (SPMD correctness of the global center/gradient reductions)."""
