@@ -1,0 +1,165 @@
+"""OSCD change-detection entry point.
+
+Parity target: ``main_oscd.py`` — SiamSegment over a frozen pretrained
+encoder, BCE or dice_bce loss, Adam(lr) + ExponentialLR(0.95), binary
+precision/recall/F1 on sigmoid>0.5, best-F1 checkpoint
+(``main_oscd.py:28-185``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    from dinomc_tpu.cli.common import bool_flag
+
+    p = argparse.ArgumentParser("OSCD (TPU)", add_help=False)
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["resnet50", "wide_resnet50_2"])
+    p.add_argument("--data_path", default="synthetic", type=str,
+                   help="OSCD root with <city>/{imgs_1,imgs_2,cm}, or 'synthetic'")
+    p.add_argument("--pretrained_weights", default="", type=str)
+    p.add_argument("--checkpoint_key", default="teacher", type=str)
+    p.add_argument("--loss", default="bce", choices=["bce", "dice_bce"])
+    p.add_argument("--freeze_encoder", default=True, type=bool_flag)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--output_dir", default="oscd_output", type=str)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--max_steps", default=0, type=int)
+    p.add_argument("--print_freq", default=5, type=int)
+    return p
+
+
+class _SyntheticPairs:
+    def __init__(self, n, size=96):
+        self.n, self.size = n, size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(i)
+        x1 = rng.rand(self.size, self.size, 3).astype(np.float32)
+        change = (rng.rand(self.size, self.size) > 0.9).astype(np.float32)
+        x2 = np.clip(x1 + change[..., None] * 0.5, 0, 1).astype(np.float32)
+        return x1, x2, change
+
+
+def run(args) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dinomc_tpu.cli.common import ensure_dir, resolve_platform, set_seed
+    from dinomc_tpu.ckpt.orbax_io import CheckpointManager
+    from dinomc_tpu.data.oscd import OSCDTiles, collate_pairs
+    from dinomc_tpu.models.siamese import SiameseConfig
+    from dinomc_tpu.train.oscd_trainer import (
+        OSCDConfig,
+        exponential_lr,
+        init_oscd_train_state,
+        oscd_predict,
+        oscd_train_step,
+    )
+    from dinomc_tpu.utils.logging import JsonlLogger, MetricLogger
+
+    resolve_platform()
+    set_seed(args.seed)
+    ensure_dir(args.output_dir)
+
+    if args.data_path == "synthetic":
+        ds = _SyntheticPairs(32)
+    else:
+        ds = OSCDTiles(args.data_path)
+    n_val = max(len(ds) // 5, 1)
+    train_idx = np.arange(len(ds) - n_val)
+    val_idx = np.arange(len(ds) - n_val, len(ds))
+
+    def batches(indices, shuffle, seed):
+        order = np.array(indices)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        bs = args.batch_size
+        for s in range(0, max(len(order) - len(order) % bs, bs), bs):
+            chunk = order[s : s + bs]
+            if len(chunk) == 0:
+                break
+            yield collate_pairs([ds[int(i)] for i in chunk])
+
+    cfg = OSCDConfig(
+        model=SiameseConfig(arch=args.backbone, freeze_encoder=args.freeze_encoder),
+        loss=args.loss,
+    )
+    pretrained = None
+    if args.pretrained_weights:
+        # convnet DINO checkpoints: torch resnet state dicts need their own
+        # mapper; orbax trees load directly.
+        from dinomc_tpu.ckpt.orbax_io import restore_pytree
+
+        tree = restore_pytree(args.pretrained_weights)
+        src = tree.get("teacher", tree) if isinstance(tree, dict) else tree
+        pretrained = src["backbone"] if "backbone" in src else src
+    state = init_oscd_train_state(jax.random.PRNGKey(args.seed), cfg, pretrained)
+
+    ckpt = CheckpointManager(f"{args.output_dir}/checkpoints", max_to_keep=1,
+                             best_mode="max", metric_name="f1")
+    logger = JsonlLogger(f"{args.output_dir}/log.txt")
+
+    def evaluate():
+        tp = fp = fn = 0.0
+        for x1, x2, m in batches(val_idx, False, 0):
+            logits = oscd_predict(
+                state.params, state.bn_state, jnp.asarray(x1), jnp.asarray(x2), cfg
+            )
+            pred = np.asarray(jax.nn.sigmoid(logits)) > 0.5
+            gt = m > 0.5
+            tp += float((pred & gt).sum())
+            fp += float((pred & ~gt).sum())
+            fn += float((~pred & gt).sum())
+        prec = tp / max(tp + fp, 1.0)
+        rec = tp / max(tp + fn, 1.0)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+        return prec * 100, rec * 100, f1 * 100
+
+    it, best_f1 = 0, 0.0
+    for epoch in range(args.epochs):
+        lr = exponential_lr(args.lr, epoch)
+        ml = MetricLogger()
+        for x1, x2, m in ml.log_every(
+            batches(train_idx, True, epoch), args.print_freq, f"Epoch [{epoch}]",
+            total=max(len(train_idx) // args.batch_size, 1),
+        ):
+            state, metrics = oscd_train_step(
+                state, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
+                jnp.float32(lr), cfg,
+            )
+            it += 1
+            if it % args.print_freq == 0:
+                ml.update(loss=float(metrics["loss"]), f1=float(metrics["f1"]))
+            if args.max_steps and it >= args.max_steps:
+                break
+        prec, rec, f1 = evaluate()
+        print(f"epoch {epoch}: P {prec:.2f} R {rec:.2f} F1 {f1:.2f}")
+        logger.write({"epoch": epoch, "precision": prec, "recall": rec, "f1": f1})
+        if f1 >= best_f1:
+            best_f1 = f1
+            ckpt.save(epoch, jax.device_get(state), metric=f1)
+        if args.max_steps and it >= args.max_steps:
+            break
+    ckpt.wait()
+    ckpt.close()
+    print(f"best F1: {best_f1:.2f}")
+    return best_f1
+
+
+def main():
+    args = argparse.ArgumentParser("oscd", parents=[get_args_parser()]).parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,7 @@ def cosine_scheduler(
     ``np.linspace(start, base, warmup_iters)``; decay is
     ``final + 0.5*(base-final)*(1+cos(pi * i/len))`` over the remaining iters.
     """
-    warmup_iters = int(warmup_epochs * niter_per_ep)
+    warmup_iters = min(int(warmup_epochs * niter_per_ep), epochs * niter_per_ep)
     warmup_schedule = np.array([])
     if warmup_iters > 0:
         warmup_schedule = np.linspace(start_warmup_value, base_value, warmup_iters)
