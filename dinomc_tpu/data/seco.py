@@ -45,6 +45,14 @@ def read_image(path: str, bands: Sequence[str] = RGB_BANDS, size: Optional[int] 
     available (multispectral Sentinel-2 path), else PIL fallback.
     """
     p = str(path)
+    if size is not None and p.lower().endswith((".png", ".jpg", ".jpeg")):
+        # native C++ decode+resize fast path (see data/native_loader.py)
+        from dinomc_tpu.data import native_loader
+
+        if native_loader.available():
+            out = native_loader.decode(p, size, size)
+            if out is not None:
+                return out.astype(np.float32) / 255.0
     if p.lower().endswith((".tif", ".tiff")):
         try:
             import rasterio  # optional

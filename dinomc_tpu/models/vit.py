@@ -55,6 +55,9 @@ class ViTConfig:
     # this, backward through the layer scan stores every attention
     # probability tensor and OOMs a v5e-16GB at DINO batch sizes.
     remat: bool = True
+    # 'auto' = Pallas flash attention on TPU (no N^2 materialization),
+    # dense softmax elsewhere; 'dense' forces the reference formulation.
+    attn_impl: str = "auto"
 
     @property
     def grid(self) -> int:
@@ -198,8 +201,11 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
 
 
-def _attention(x, p_attn, num_heads, return_attn=False):
-    """Dense MHSA. x: (B, N, D) in compute dtype."""
+def _attention(x, p_attn, num_heads, return_attn=False, impl="auto"):
+    """MHSA. x: (B, N, D) in compute dtype. Flash attention on TPU unless
+    attention probabilities are requested (visualization path)."""
+    from dinomc_tpu.ops.attention import dense_attention, mha
+
     B, N, D = x.shape
     h = num_heads
     hd = D // h
@@ -208,9 +214,13 @@ def _attention(x, p_attn, num_heads, return_attn=False):
     qkv = qkv.reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
     scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v)
+    if return_attn:
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v)
+    else:
+        attn = None
+        out = mha(q, k, v, scale, impl=impl)
     out = out.reshape(B, N, D)
     out = jnp.einsum("bnd,de->bne", out, p_attn["proj"]["kernel"].astype(x.dtype))
     out = out + p_attn["proj"]["bias"].astype(x.dtype)
@@ -244,7 +254,7 @@ def _block(x, bp, cfg: ViTConfig, dp_rate, rng, deterministic):
     eps = cfg.layernorm_eps
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], eps)
-    y, _ = _attention(y, bp["attn"], cfg.num_heads)
+    y, _ = _attention(y, bp["attn"], cfg.num_heads, impl=cfg.attn_impl)
     if not deterministic:
         y = _drop_path(y, dp_rate, r1, deterministic)
     x = x + y

@@ -1,0 +1,97 @@
+"""Multi-head attention dispatch: Pallas flash attention on TPU, dense
+fallback elsewhere.
+
+Why: the reference's dense ``softmax(QK^T)V`` (``vision_transformer.py:80-92``)
+materializes an (N, N) probability tensor per head — at ViT-S/8 global
+crops that is 785x785 in f32 per (batch, head, layer), ~1 GB of HBM
+traffic per layer, which measured out at ~7% MFU for the plain forward.
+Flash attention streams K/V blocks through VMEM with an online softmax and
+never materializes N^2, which also unlocks the 4097-token 512px
+segmentation inputs (SURVEY.md §5.7).
+
+Sequence lengths are padded to the kernel's 128-token block size and
+masked via SegmentIds (padding tokens get segment 0, real tokens 1), so
+arbitrary token counts (111..4097 across the multi-crop sizes) are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+
+
+def _pad_len(n: int) -> int:
+    return -(-n // _BLOCK) * _BLOCK
+
+
+def dense_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """(B, N, h, d) reference attention; f32 softmax."""
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs.astype(q.dtype), v)
+
+
+def flash_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """(B, N, h, d) -> (B, N, h, d) via the TPU flash-attention kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, h, d = q.shape
+    Np = _pad_len(N)
+
+    def to_bhnd(x):
+        x = jnp.swapaxes(x, 1, 2)  # (B, h, N, d)
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+        return x
+
+    qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    if Np != N:
+        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        seg_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        seg_ids = None
+    out = flash_attention(qf, kf, vf, segment_ids=seg_ids, sm_scale=scale)
+    out = jnp.swapaxes(out, 1, 2)[:, :N]
+    return out.astype(q.dtype)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention over (B, N, heads, head_dim) tensors.
+
+    impl: 'auto' (flash on TPU, dense elsewhere) | 'flash' | 'dense'.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "auto":
+        if jax.default_backend() == "tpu":
+            from dinomc_tpu.ops.pallas.attention import MAX_FUSED_LEN, _pad_len
+
+            impl = "fused" if _pad_len(q.shape[1]) <= MAX_FUSED_LEN else "flash"
+        else:
+            impl = "dense"
+    if impl == "fused":
+        from dinomc_tpu.ops.pallas.attention import fused_mha
+
+        return fused_mha(q, k, v, scale)
+    if impl == "flash":
+        return flash_mha(q, k, v, scale)
+    return dense_attention(q, k, v, scale)

@@ -205,20 +205,36 @@ def gaussian_blur(
         ks, (B,), minval=radius_range[0], maxval=radius_range[1]
     )
     taps = _gaussian_kernel_1d(sigma, kernel_radius)  # (B, K)
-
-    # Horizontal then vertical pass via batched matmul-free einsum over a
-    # gathered window: implemented with conv by folding batch into channels.
     K = 2 * kernel_radius + 1
     pad = kernel_radius
 
-    xp = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
-    # windows: (B, H, W, C, K) via K shifted slices (static unroll, K small)
-    win = jnp.stack([xp[:, :, i : i + W, :] for i in range(K)], axis=-1)
-    blurred = jnp.einsum("bhwck,bk->bhwc", win, taps)
+    # Separable depthwise conv with PER-SAMPLE kernels: fold the batch into
+    # the channel axis (1, H, W, B*C) and use feature_group_count=B*C with
+    # each sample's taps repeated across its C channels — one conv instead
+    # of K shifted slices (the naive form moved K full copies through HBM).
+    per_chan = jnp.repeat(taps, C, axis=0)  # (B*C, K)
+    x = images.transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
 
-    xp = jnp.pad(blurred, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="edge")
-    win = jnp.stack([xp[:, i : i + H, :, :] for i in range(K)], axis=-1)
-    blurred = jnp.einsum("bhwck,bk->bhwc", win, taps)
+    def depthwise(x, kern):
+        # edge-pad (PIL border semantics), then VALID separable convs
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="edge")
+        rhs_h = kern.T.reshape(K, 1, 1, B * C)
+        x = jax.lax.conv_general_dilated(
+            x, rhs_h.astype(x.dtype), (1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=B * C,
+        )
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
+        rhs_w = kern.T.reshape(1, K, 1, B * C)
+        x = jax.lax.conv_general_dilated(
+            x, rhs_w.astype(x.dtype), (1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=B * C,
+        )
+        return x
+
+    blurred = depthwise(x, per_chan)
+    blurred = blurred.reshape(H, W, B, C).transpose(2, 0, 1, 3)
 
     apply = jax.random.bernoulli(kp, p, (B, 1, 1, 1))
     return jnp.where(apply, blurred, images)
