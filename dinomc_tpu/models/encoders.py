@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from dinomc_tpu.models import resnet as rn
 from dinomc_tpu.models import swin as sw
 from dinomc_tpu.models import vit as vt
+from dinomc_tpu.models import xcit as xc
 
 Params = Any
 
@@ -48,6 +49,8 @@ class EncoderConfig:
             return 2048
         if self.arch == "swin_t":
             return 768
+        if self.arch.startswith("xcit"):
+            return {"xcit_small_12": 384, "xcit_medium_24": 512}[self.arch]
         raise ValueError(self.arch)
 
     def _vit_cfg(self) -> vt.ViTConfig:
@@ -67,6 +70,9 @@ class EncoderConfig:
             return rn.init_resnet(key, self._rn_cfg())
         if self.arch == "swin_t":
             return sw.init_swin(key, sw.swin_t()), {}
+        if self.arch.startswith("xcit"):
+            cfg = xc.XCIT_FACTORIES[self.arch](patch_size=self.patch_size)
+            return xc.init_xcit(key, cfg), {}
         raise ValueError(self.arch)
 
     def apply(
@@ -85,9 +91,13 @@ class EncoderConfig:
             return rn.resnet_forward(params, state, x, self._rn_cfg(), train)
         if self.arch == "swin_t":
             return sw.swin_forward(params, x, sw.swin_t(), not train, rng), state
+        if self.arch.startswith("xcit"):
+            cfg = xc.XCIT_FACTORIES[self.arch](patch_size=self.patch_size)
+            return xc.xcit_forward(params, x, cfg, rng, not train), state
         raise ValueError(self.arch)
 
 
 ENCODER_ARCHS = (
-    "vit_tiny", "vit_small", "vit_base", "resnet50", "wide_resnet50_2", "swin_t",
+    "vit_tiny", "vit_small", "vit_base", "resnet50", "wide_resnet50_2",
+    "swin_t", "xcit_small_12", "xcit_medium_24",
 )
