@@ -20,7 +20,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("BigEarthNet (TPU)", add_help=False)
     p.add_argument("--arch", default="resnet50",
                    choices=["vit_tiny", "vit_small", "vit_base", "resnet50",
-                            "wide_resnet50_2", "swin_t"])
+                            "wide_resnet50_2", "swin_t", "xcit_small_12", "xcit_medium_24"])
     p.add_argument("--patch_size", default=8, type=int)
     p.add_argument("--data_path", default="synthetic", type=str,
                    help="BigEarthNet patch-folder root, .lmdb path, or 'synthetic'")

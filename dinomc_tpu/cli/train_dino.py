@@ -33,7 +33,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     # model
     p.add_argument("--arch", default="vit_small", type=str,
                    choices=["vit_tiny", "vit_small", "vit_base", "resnet50",
-                            "wide_resnet50_2", "swin_t"])
+                            "wide_resnet50_2", "swin_t", "xcit_small_12", "xcit_medium_24"])
     p.add_argument("--patch_size", default=8, type=int)
     p.add_argument("--out_dim", default=65536, type=int)
     p.add_argument("--norm_last_layer", default=True, type=bool_flag)

@@ -169,6 +169,7 @@ class SegSampleIndex:
         ]
 
     def _find_mask(self, stem: str) -> Optional[str]:
+        stem = self._mask_stem(stem)
         for suf in (self.spec.mask_suffix, ".png", ".tif"):
             p = os.path.join(self.mask_dir, stem + suf)
             if os.path.exists(p):
@@ -181,6 +182,38 @@ class SegSampleIndex:
             if os.path.exists(p):
                 return p
         raise FileNotFoundError(stem)
+
+    @classmethod
+    def potsdam_pairs(
+        cls,
+        root: str,
+        spec: SegDatasetSpec,
+        split: str = "train",
+        val_frac: float = 0.1,
+        seed: int = 42,
+        image_size: int = 224,
+    ) -> "SegSampleIndex":
+        """Potsdam layout: one directory of ``Image_*.tif`` / ``Label_*.tif``
+        pairs with an in-memory seeded 90/10 train/val split (reference
+        ``potsdam_dataset.py:185-189``)."""
+        self = cls.__new__(cls)
+        self.spec = spec
+        self.image_size = image_size
+        self.img_dir = self.mask_dir = root
+        stems = sorted(
+            p.stem for p in Path(root).iterdir() if p.stem.startswith("Image_")
+        )
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(stems))
+        n_val = max(int(round(len(stems) * val_frac)), 1) if stems else 0
+        pick = order[n_val:] if split == "train" else order[:n_val]
+        self.stems = [stems[i] for i in sorted(pick)]
+        return self
+
+    def _mask_stem(self, stem: str) -> str:
+        if stem.startswith("Image_"):
+            return "Label_" + stem[len("Image_"):]
+        return stem
 
     def __len__(self) -> int:
         return len(self.stems)

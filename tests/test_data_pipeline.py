@@ -75,6 +75,29 @@ def test_seg_index_and_batches(uavid_dir):
     assert batches[0][0].shape == (2, 32, 32, 3)
 
 
+def test_potsdam_pairs_split(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    for i in range(10):
+        img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+        cls = rng.randint(0, 6, (24, 24)).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / f"Image_{i}.png")
+        Image.fromarray(sd.class_to_rgb(cls, sd.POTSDAM)).save(
+            tmp_path / f"Label_{i}.png"
+        )
+    train = sd.SegSampleIndex.potsdam_pairs(
+        str(tmp_path), sd.POTSDAM, "train", val_frac=0.1, image_size=24
+    )
+    val = sd.SegSampleIndex.potsdam_pairs(
+        str(tmp_path), sd.POTSDAM, "val", val_frac=0.1, image_size=24
+    )
+    assert len(train) == 9 and len(val) == 1
+    assert not set(train.stems) & set(val.stems)
+    img, mask = train.load(0)
+    assert img.shape == (24, 24, 3) and mask.max() < 6
+
+
 def test_augment_batch_shapes(uavid_dir):
     img_dir, msk_dir = uavid_dir
     ds = sd.SegSampleIndex(img_dir, msk_dir, sd.UAVID, image_size=32)
