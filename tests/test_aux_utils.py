@@ -89,6 +89,26 @@ def test_multi_scale_shape():
     )
 
 
+def test_profiling_step_timer_and_sync():
+    from dinomc_tpu.utils import profiling
+
+    x = jnp.ones((8, 8))
+    profiling.sync(x)  # must not raise
+    timer = profiling.StepTimer(sync_every=2)
+    assert timer.step(x) is None
+    ms = timer.step(x)
+    assert ms is not None and ms >= 0
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_profiling_annotate():
+    from dinomc_tpu.utils import profiling
+
+    with profiling.annotate("test-region"):
+        _ = jnp.ones(4).sum()
+
+
 def test_make_numpy_grid_and_denorm():
     imgs = np.random.RandomState(3).rand(5, 8, 8, 3).astype(np.float32)
     grid = viz.make_numpy_grid(imgs)
