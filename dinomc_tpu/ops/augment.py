@@ -328,22 +328,37 @@ def multicrop_augment(
     return jnp.stack([g0, g1], axis=0), locals_
 
 
+def _tp_photo_aug(rng, images):
+    """MCTemporal's class-level augment (``dino_dataset.py:97-104``):
+    jitter(0.4,0.4,0.4,0.1)@.8 + grayscale@.2 + blur@.5 + hflip@.5."""
+    k = jax.random.split(rng, 4)
+    x = color_jitter(k[0], images, 0.4, 0.4, 0.4, 0.1, p=0.8)
+    x = random_grayscale(k[1], x, p=0.2)
+    x = gaussian_blur(k[2], x, p=0.5)
+    return random_hflip(k[3], x)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def multicrop_augment_tp(
     rng: jax.Array, images: jnp.ndarray, cfg: MultiCropConfig = MultiCropConfig()
 ):
-    """DINO-TP temporal variant (``dino_augmentation.py:70-103``): images is
-    (4, B, H, W, 3) = [base, t1, t2, t3]; 3 global crops from t1..t3 (no color
-    aug), N multi-size locals from the base view."""
-    keys = jax.random.split(rng, 3 + len(cfg.local_sizes))
+    """DINO-TP temporal variant: images is (4, B, H, W, 3) =
+    [t0, t1, t2, t0] (data/seco.MCTemporal layout). Parity with the
+    reference composition (``dino_dataset.py:114-128`` +
+    ``dino_augmentation.py:70-103``): global views are
+    [aug(t1), t2, aug(t0)] — photometric augment on views 1 and 3 — each
+    RandomResizedCrop(224); locals are N multi-size crops of the raw t0;
+    the crop transforms themselves add no color aug."""
+    keys = jax.random.split(rng, 5 + len(cfg.local_sizes))
+    views = [images[1], images[2], images[3]]
+    views[0] = _tp_photo_aug(keys[3], views[0])
+    views[2] = _tp_photo_aug(keys[4], views[2])
     globals_ = []
-    for i in range(3):
-        x = random_resized_crop(
-            keys[i], images[1 + i], cfg.global_size, cfg.global_scale
-        )
+    for i, v in enumerate(views):
+        x = random_resized_crop(keys[i], v, cfg.global_size, cfg.global_scale)
         globals_.append(normalize(x))
     locals_ = []
     for i, s in enumerate(cfg.local_sizes):
-        x = random_resized_crop(keys[3 + i], images[0], s, cfg.local_scale)
+        x = random_resized_crop(keys[5 + i], images[0], s, cfg.local_scale)
         locals_.append(normalize(x))
     return jnp.stack(globals_, axis=0), tuple(locals_)
