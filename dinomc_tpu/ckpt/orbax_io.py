@@ -47,6 +47,9 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(_abs(directory), options=options)
 
     def save(self, step: int, state: Any, metric: Optional[float] = None) -> None:
+        """NOTE: when the training step donates its state buffers, pass
+        ``jax.device_get(state)`` (host copy) — an async save reading device
+        arrays races with the next step's buffer donation."""
         metrics = {self._metric_name: float(metric)} if metric is not None else None
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics
