@@ -55,6 +55,47 @@ def tiled_predict(
     return patching.stitch(logits, coords, (H, W), mode=stitch_mode)
 
 
+def stitch_from_files(
+    logits_dir: str,
+    metadata_path: str,
+    canvas_hw: Tuple[int, int],
+    basename: Optional[str] = None,
+    mode: str = "paste",
+) -> jnp.ndarray:
+    """Rebuild a full-resolution logit canvas from per-patch ``.npy`` files +
+    ``patches_metadata.json`` — the reference's stitcher input format
+    (``UAVIDPatchStitch``, ``uavid_dataset.py:279-397``; logits stored CHW).
+    Groups by basename when given; otherwise uses every entry. Logits whose
+    spatial size mismatches their metadata box are bicubic-resized
+    (``uavid_dataset.py:371-374``)."""
+    import os
+
+    import numpy as np
+
+    from dinomc_tpu.data.patching import load_metadata
+
+    meta = load_metadata(metadata_path)
+    names = sorted(
+        n for n in meta
+        if basename is None or os.path.splitext(n)[0].startswith(basename)
+    )
+    coords = []
+    patches = []
+    for n in names:
+        m = meta[n]
+        stem = os.path.splitext(n)[0]
+        arr = np.load(os.path.join(logits_dir, stem + ".npy"))  # (C, h, w)
+        arr = jnp.asarray(arr).transpose(1, 2, 0)  # -> (h, w, C)
+        ph, pw = m["y_end"] - m["y_start"], m["x_end"] - m["x_start"]
+        if arr.shape[:2] != (ph, pw):
+            arr = jax.image.resize(arr, (ph, pw, arr.shape[-1]), "bicubic")
+        coords.append((m["y_start"], m["y_end"], m["x_start"], m["x_end"]))
+        patches.append(arr)
+    from dinomc_tpu.data.patching import stitch as _stitch
+
+    return _stitch(jnp.stack(patches), coords, canvas_hw, mode=mode)
+
+
 def evaluate_tiled(
     predict_fn: Callable[[jnp.ndarray], jnp.ndarray],
     samples,  # iterable of (image (H,W,3) normalized, mask (H,W) int)

@@ -94,6 +94,30 @@ def test_tiled_predict_identity_model():
     np.testing.assert_array_equal(pred, mask)
 
 
+def test_stitch_from_files_roundtrip(tmp_path):
+    """Write reference-format per-patch logits + metadata, read back, and
+    recover the original canvas (UAVIDPatchStitch interop)."""
+    import os
+
+    from dinomc_tpu.eval.tiled_inference import stitch_from_files
+
+    H, W, C = 32, 48, 5
+    canvas = np.random.RandomState(0).randn(H, W, C).astype(np.float32)
+    coords = patching.custom_grid_coords(H, W, 2, 2)
+    meta = patching.coords_to_metadata(coords, "img7", cols=2)
+    names = sorted(meta.keys())
+    for n in names:
+        m = meta[n]
+        patch = canvas[m["y_start"] : m["y_end"], m["x_start"] : m["x_end"]]
+        np.save(tmp_path / (os.path.splitext(n)[0] + ".npy"), patch.transpose(2, 0, 1))
+    patching.save_metadata(meta, str(tmp_path / "patches_metadata.json"))
+
+    out = stitch_from_files(
+        str(tmp_path), str(tmp_path / "patches_metadata.json"), (H, W), "img7"
+    )
+    np.testing.assert_allclose(np.asarray(out), canvas, atol=1e-6)
+
+
 def test_evaluate_tiled_perfect_prediction():
     H = W = 32
     mask = (np.indices((H, W)).sum(0) % 4).astype(np.int32)
