@@ -143,8 +143,11 @@ def dino_pyramid(
     (reference ``DinoMCBackbone.forward``, ``networks.py:208-241``)."""
     B, H, W, _ = x.shape
     vcfg = cfg.vit_config(img_size=H)
+    # apply_norm=False: the reference backbone taps raw block outputs, NOT
+    # final-LN'd (DinoMCBackbone runs blocks manually, networks.py:216-229 —
+    # unlike get_intermediate_layers which norms each tap).
     taps = vit_intermediate_layers(
-        backbone_params, x, vcfg, out_indices=cfg.out_indices, apply_norm=True
+        backbone_params, x, vcfg, out_indices=cfg.out_indices, apply_norm=False
     )  # (L, B, N+1, D)
     Hf, Wf = H // cfg.patch_size, W // cfg.patch_size
     feats = [t[:, 1:, :].reshape(B, Hf, Wf, cfg.embed_dim) for t in taps]

