@@ -169,6 +169,41 @@ def write_epoch_csv(
         writer.writerow(row)
 
 
+class TensorBoardLogger:
+    """Optional TensorBoard scalars/images (reference OSCD Lightning logging,
+    ``main_oscd.py:54-78``). Gated: no-ops when tensorboard is unavailable."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir)
+        except Exception:
+            self._w = None
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._w is not None:
+            self._w.add_scalar(tag, value, step)
+
+    def image(self, tag: str, image, step: int) -> None:
+        """image: (H, W, 3) float [0,1] or uint8."""
+        if self._w is not None:
+            import numpy as np
+
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            self._w.add_image(tag, arr, step, dataformats="HWC")
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+
+
 class Tee:
     """Mirror stdout to a log file (reference ``Logger``,
     ``utils/logger_tool.py``)."""
