@@ -1,0 +1,119 @@
+"""Checkpoint manager tests: save/restore round trip, rotation, best-metric
+selection, and train-state resume continuity (the preemption-requeue path,
+run_dino_with_submitit.py parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinomc_tpu.ckpt.orbax_io import CheckpointManager, restore_pytree, save_pytree
+
+
+def _tree(seed):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "w": jax.random.normal(k, (4, 4)),
+        "nested": {"b": jnp.arange(3, dtype=jnp.float32) * seed},
+    }
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    t0 = _tree(1)
+    mgr.save(0, jax.device_get(t0))
+    mgr.wait()
+    restored = mgr.restore(jax.device_get(_tree(0)))
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(t0["w"]))
+    np.testing.assert_allclose(
+        np.asarray(restored["nested"]["b"]), np.asarray(t0["nested"]["b"])
+    )
+    mgr.close()
+
+
+def test_rotation_keeps_last_n(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for step in range(5):
+        mgr.save(step, jax.device_get(_tree(step)))
+    mgr.wait()
+    assert mgr.latest_step() == 4
+    restored = mgr.restore(jax.device_get(_tree(0)), step=4)
+    np.testing.assert_allclose(
+        np.asarray(restored["nested"]["b"]), np.arange(3, dtype=np.float32) * 4
+    )
+    # early steps rotated away
+    import os
+
+    kept = sorted(
+        int(d) for d in os.listdir(tmp_path / "ck") if d.isdigit()
+    )
+    assert len(kept) <= 2
+    mgr.close()
+
+
+def test_best_metric_selection(tmp_path):
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=1, best_mode="max", metric_name="miou"
+    )
+    mgr.save(0, jax.device_get(_tree(0)), metric=0.5)
+    mgr.save(1, jax.device_get(_tree(1)), metric=0.9)
+    mgr.save(2, jax.device_get(_tree(2)), metric=0.7)
+    mgr.wait()
+    assert mgr.best_step() == 1
+    mgr.close()
+
+
+def test_train_state_resume_continuity(tmp_path):
+    """Save a DINO train state mid-run, restore, continue — steps line up and
+    the restored params match bit-exactly."""
+    import dataclasses
+
+    from dinomc_tpu.core import schedules
+    from dinomc_tpu.train.dino_trainer import (
+        DinoConfig,
+        DinoSchedules,
+        dino_train_step,
+        init_dino_train_state,
+    )
+
+    cfg = DinoConfig(
+        arch="vit_tiny", patch_size=8, out_dim=64, niter_per_ep=2,
+        global_crop_size=32, drop_path_rate=0.0,
+    )
+    sch = DinoSchedules(
+        lr=jnp.asarray(schedules.cosine_scheduler(1e-3, 1e-6, 2, 2)),
+        wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.4, 2, 2)),
+        teacher_momentum=jnp.asarray(schedules.cosine_scheduler(0.996, 1.0, 2, 2)),
+        teacher_temp=jnp.asarray(schedules.teacher_temp_schedule(0.04, 0.07, 1, 2)),
+    )
+    g = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+    locals_ = (jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)),)
+
+    state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+    state, _ = dino_train_step(state, g, locals_, sch, cfg)
+    saved = jax.device_get(state)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(int(saved.step), saved)
+    mgr.wait()
+    template = jax.device_get(init_dino_train_state(jax.random.PRNGKey(0), cfg))
+    restored = mgr.restore(template)
+    assert int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.student["backbone"]["patch_embed"]["kernel"]),
+        np.asarray(saved.student["backbone"]["patch_embed"]["kernel"]),
+    )
+    # continues stepping
+    state2, metrics = dino_train_step(
+        jax.tree_util.tree_map(jnp.asarray, restored), g, locals_, sch, cfg
+    )
+    assert int(state2.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    mgr.close()
+
+
+def test_save_pytree_oneshot(tmp_path):
+    t = _tree(3)
+    save_pytree(str(tmp_path / "weights"), jax.device_get(t))
+    back = restore_pytree(str(tmp_path / "weights"))
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(t["w"]))
