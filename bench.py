@@ -84,4 +84,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon compile relay occasionally drops a request (HTTP 500 /
+    # truncated body); retry once on that specific transient, not on
+    # deterministic failures.
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - transient infra
+        msg = str(e)
+        if "remote_compile" in msg or "INTERNAL" in msg:
+            import sys
+
+            print(f"bench: transient relay failure, retrying once: {msg[:200]}",
+                  file=sys.stderr)
+            main()
+        else:
+            raise

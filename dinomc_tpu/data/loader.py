@@ -97,6 +97,19 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment (a producer
+            # blocked forever on a full queue would leak per epoch)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        error: list = []
+
         def producer():
             try:
                 for idx in self.sampler:
@@ -106,9 +119,12 @@ class PrefetchLoader:
                     batch = self.collate(items)
                     if self.sharding is not None:
                         batch = jax.device_put(batch, self.sharding)
-                    q.put(batch)
+                    if not put(batch):
+                        return
+            except BaseException as e:  # surface in the consumer, not stderr
+                error.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -118,6 +134,8 @@ class PrefetchLoader:
                 if batch is None:
                     break
                 yield batch
+            if error:
+                raise error[0]
         finally:
             stop.set()
 

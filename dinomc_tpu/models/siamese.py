@@ -43,11 +43,10 @@ def init_siamese(key: jax.Array, cfg: SiameseConfig) -> Tuple[Params, Params]:
     laterals = [
         layers.conv_init(next(keys), 1, c, C) for c in FEATURE_CHANNELS
     ]
-    smooths = [layers.conv_init(next(keys), 3, C, C) for _ in FEATURE_CHANNELS]
     params = {
         "encoder": enc_p,
         "lateral": laterals,
-        "smooth": smooths,
+        "smooth": layers.conv_init(next(keys), 3, C, C),
         "classifier": layers.conv_init(next(keys), 3, C, 1),
     }
     return params, {"encoder": enc_s}
@@ -72,15 +71,12 @@ def siamese_forward(
     f2, _, s2 = rn.resnet_features(params["encoder"], s1, x2, cfg.rn_cfg(), enc_train)
     diffs = [jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)) for a, b in zip(f1, f2)]
 
-    # FPN top-down over |diff| levels
+    # FPN top-down over |diff| levels; y ends at the finest level (stride 2)
     lat = [layers.conv_apply(p, d) for p, d in zip(params["lateral"], diffs)]
     y = lat[-1]
-    outs = [y]
     for i in range(len(lat) - 2, -1, -1):
         y = lat[i] + layers.resize_bilinear(y, lat[i].shape[1:3])
-        outs.append(y)
-    y = outs[-1]  # finest level (stride 2)
-    y = jax.nn.relu(layers.conv_apply(params["smooth"][0], y))
+    y = jax.nn.relu(layers.conv_apply(params["smooth"], y))
     y = layers.resize_bilinear(y, (H, W))
     logits = layers.conv_apply(params["classifier"], y)[..., 0]
     new_state = {"encoder": s2 if enc_train else state["encoder"]}

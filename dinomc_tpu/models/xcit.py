@@ -165,7 +165,8 @@ def init_xcit(key: jax.Array, cfg: XCiTConfig) -> Params:
 
     return {
         "stem": stem,
-        "pos_proj": _lin_init(next(keys), 4 * cfg.pos_hidden, D),
+        # sin/cos halves per axis: 2 axes x hidden features
+        "pos_proj": _lin_init(next(keys), 2 * cfg.pos_hidden, D),
         "cls_token": _trunc(next(keys), (1, 1, D)),
         "blocks": blocks,
         "cls_blocks": cls_blocks,
@@ -174,8 +175,8 @@ def init_xcit(key: jax.Array, cfg: XCiTConfig) -> Params:
 
 
 def _fourier_pos(gh: int, gw: int, hidden: int) -> jnp.ndarray:
-    """Fixed 2-D sine/cosine features (XCiT PositionalEncodingFourier),
-    (gh*gw, 4*hidden)."""
+    """Fixed 2-D sine/cosine features (XCiT PositionalEncodingFourier):
+    hidden//2 sin + hidden//2 cos per axis -> (gh*gw, 2*hidden)."""
     scale = 2 * math.pi
     eps = 1e-6
     y = (jnp.arange(gh, dtype=jnp.float32) + 1.0)[:, None].repeat(gw, 1) / (gh + eps) * scale
@@ -187,11 +188,7 @@ def _fourier_pos(gh: int, gw: int, hidden: int) -> jnp.ndarray:
         [jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2]),
          jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])], axis=-1,
     )
-    # pad feature dim to 4*hidden
-    want = 4 * hidden
-    if feats.shape[-1] < want:
-        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, want - feats.shape[-1])))
-    return feats.reshape(gh * gw, want)
+    return feats.reshape(gh * gw, 2 * hidden)
 
 
 def _xca(tokens, bp, h, dtype):

@@ -1,0 +1,177 @@
+"""End-to-end SSL learning validation.
+
+Pretrains DINO-MC on structured synthetic imagery (8 latent "classes" of
+textures under heavy nuisance variation) and verifies that frozen-feature
+k-NN accuracy rises far above chance — demonstrating that the full stack
+(on-device multi-crop augmentation, student/teacher ViT, DINO loss with
+centering, EMA) actually LEARNS, not just runs. Prints before/after k-NN
+accuracy; exits nonzero if learning is not demonstrated.
+
+Run: python scripts/validate_learning.py [--steps 300]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_dataset(n_per_class=64, size=128, num_classes=8, seed=0):
+    """Class = texture TYPE (stripes / checker / dots / rings / starburst /
+    blobs / speckle / crosshatch) — a structural signal that SURVIVES the
+    DINO augmentations. Orientation, scale, phase, color, brightness and
+    noise are per-image nuisances (classes defined by orientation or
+    absolute frequency would be destroyed by flips and zoom crops — DINO
+    correctly learns invariance to those)."""
+    rng = np.random.RandomState(seed)
+    xs, ys = [], []
+    yy, xx = np.mgrid[0:size, 0:size] / size - 0.5
+
+    def stripes(f, a, p):
+        return 0.5 + 0.5 * np.sin(2 * np.pi * f * (np.cos(a) * xx + np.sin(a) * yy) + p)
+
+    def gen(c, f, a, p, rloc):
+        u = np.cos(a) * xx + np.sin(a) * yy
+        v = -np.sin(a) * xx + np.cos(a) * yy
+        r = np.sqrt((xx - rloc[0]) ** 2 + (yy - rloc[1]) ** 2)
+        if c == 0:  # stripes
+            return stripes(f, a, p)
+        if c == 1:  # checkerboard
+            return ((np.floor(u * f) + np.floor(v * f)) % 2)
+        if c == 2:  # dot grid
+            return (np.sin(2 * np.pi * f * u + p) * np.sin(2 * np.pi * f * v + p) > 0.3) * 1.0
+        if c == 3:  # concentric rings
+            return 0.5 + 0.5 * np.sin(2 * np.pi * f * r + p)
+        if c == 4:  # radial starburst
+            theta = np.arctan2(yy - rloc[1], xx - rloc[0])
+            return 0.5 + 0.5 * np.sin(int(f) * 2 * theta + p)
+        if c == 5:  # smooth blobs (low-frequency noise)
+            g = rng.randn(8, 8)
+            from numpy.fft import irfft2
+
+            big = np.zeros((size, size))
+            big[:8, :8] = g
+            out = np.real(np.fft.ifft2(np.fft.fft2(big)))
+            out = (out - out.min()) / max(np.ptp(out), 1e-9)
+            return out
+        if c == 6:  # fine speckle
+            return (rng.rand(size, size) > 0.5) * 1.0
+        # crosshatch: two orthogonal stripe fields
+        return np.maximum(stripes(f, a, p), stripes(f, a + np.pi / 2, p))
+
+    for c in range(num_classes):
+        for _ in range(n_per_class):
+            f = 4 + 6 * rng.rand()  # random scale per image
+            a = rng.rand() * np.pi  # random orientation per image
+            p = rng.rand() * 2 * np.pi
+            rloc = 0.3 * (rng.rand(2) - 0.5)
+            tex = gen(c, f, a, p, rloc)
+            color = 0.3 + 0.7 * rng.rand(3)
+            img = tex[..., None] * color[None, None]
+            img = img * (0.6 + 0.4 * rng.rand()) + 0.08 * rng.randn(size, size, 3)
+            xs.append(np.clip(img, 0, 1).astype(np.float32))
+            ys.append(c)
+    order = rng.permutation(len(xs))
+    return np.stack(xs)[order], np.asarray(ys)[order]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dinomc_tpu.core import schedules
+    from dinomc_tpu.eval.knn import knn_accuracy
+    from dinomc_tpu.models.encoders import EncoderConfig
+    from dinomc_tpu.ops.augment import MultiCropConfig, multicrop_augment
+    from dinomc_tpu.train.dino_trainer import (
+        DinoConfig,
+        DinoSchedules,
+        dino_train_step,
+        init_dino_train_state,
+    )
+
+    images, labels = make_dataset()
+    n = len(images)
+    n_train = int(n * 0.8)
+
+    cfg = DinoConfig(
+        arch="vit_tiny", patch_size=16, out_dim=1024, niter_per_ep=50,
+        global_crop_size=96, drop_path_rate=0.0, freeze_last_layer=1,
+        momentum_teacher=0.9995,  # small-batch DINO needs a slow teacher
+    )
+    mc = MultiCropConfig(
+        global_size=96, global_scale=(0.4, 1.0),
+        local_sizes=(64, 48), local_scale=(0.1, 0.4),
+    )
+    epochs = max(args.steps // cfg.niter_per_ep, 1)
+    sch = DinoSchedules(
+        lr=jnp.asarray(schedules.cosine_scheduler(
+            1e-3, 1e-5, epochs, cfg.niter_per_ep, warmup_epochs=2)),
+        wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.2, epochs, cfg.niter_per_ep)),
+        teacher_momentum=jnp.asarray(
+            schedules.cosine_scheduler(0.9995, 1.0, epochs, cfg.niter_per_ep)
+        ),
+        teacher_temp=jnp.asarray(
+            schedules.teacher_temp_schedule(0.04, 0.07, max(epochs // 3, 1), epochs)
+        ),
+    )
+    state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+    enc = cfg.encoder(student=False)
+
+    def features(params):
+        out = []
+        for s in range(0, n, 128):
+            x = jax.image.resize(
+                jnp.asarray(images[s : s + 128]), (min(128, n - s), 96, 96, 3),
+                "bilinear",
+            )
+            f, _ = enc.apply(params["backbone"], {}, x, False, None)
+            out.append(np.asarray(f))
+        return np.concatenate(out)
+
+    def knn_acc(params):
+        f = features(params)
+        return knn_accuracy(
+            jnp.asarray(f[:n_train]), jnp.asarray(labels[:n_train]),
+            jnp.asarray(f[n_train:]), jnp.asarray(labels[n_train:]),
+            ks=(5,), num_classes=8,
+        )[5]
+
+    acc_before = knn_acc(state.teacher)
+    print(f"k-NN acc before pretraining: {acc_before:.2f}% (chance = 12.5%)")
+
+    rng = jax.random.PRNGKey(1)
+    data_rng = np.random.RandomState(2)
+    t0 = time.time()
+    loss = float("nan")
+    for step in range(args.steps):
+        idx = data_rng.randint(0, n, args.batch)
+        rng, k = jax.random.split(rng)
+        g, locals_ = multicrop_augment(k, jnp.asarray(images[idx]), mc)
+        state, m = dino_train_step(state, g, locals_, sch, cfg)
+        if step % 50 == 0 or step == args.steps - 1:
+            loss = float(m["loss"])
+            print(f"step {step}: loss {loss:.4f}  ({time.time()-t0:.0f}s)")
+            if not np.isfinite(loss):
+                print("NaN loss — failing")
+                return 1
+
+    acc_after = knn_acc(state.teacher)
+    print(f"k-NN acc after {args.steps} steps: {acc_after:.2f}%")
+    ok = acc_after >= max(acc_before + 5.0, 50.0)
+    print("LEARNING DEMONSTRATED" if ok else
+          "INCONCLUSIVE (early-phase DINO; try more --steps)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
