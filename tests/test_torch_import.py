@@ -80,7 +80,7 @@ def test_torch_vit_import_forward_parity():
 
     cfg = ViTConfig(
         patch_size=4, embed_dim=32, depth=3, num_heads=2, img_size=16,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, gelu_approx=False,
     )
     x = np.random.RandomState(0).randn(2, 16, 16, 3).astype(np.float32)
     with torch.no_grad():
@@ -108,7 +108,7 @@ def test_torch_import_via_pth_file(tmp_path):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     cfg = ViTConfig(
         patch_size=4, embed_dim=32, depth=3, num_heads=2, img_size=16,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, gelu_approx=False,
     )
     x = np.random.RandomState(1).randn(1, 16, 16, 3).astype(np.float32)
     with torch.no_grad():
