@@ -233,6 +233,9 @@ def _attention(x, p_attn, num_heads, return_attn=False, impl="auto"):
     else:
         attn = None
         out = mha(q, k, v, scale, impl=impl)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
     out = out.reshape(B, N, D)
     out = jnp.einsum("bnd,de->bne", out, p_attn["proj"]["kernel"].astype(x.dtype))
     out = out + p_attn["proj"]["bias"].astype(x.dtype)
@@ -305,8 +308,10 @@ def _scan_blocks(
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, L)
     dp_keeps = 1.0 - dp_rates
     if rng is None or deterministic:
-        # placeholder; unused when deterministic
+        # no stochastic depth without randomness: all-keep masks AND unit
+        # keep-probabilities (else the 1/keep scale would inflate outputs)
         dp_masks = jnp.ones((L, 2, tokens.shape[0]), jnp.bool_)
+        dp_keeps = jnp.ones((L,), jnp.float32)
     else:
         # ONE bernoulli for every (layer, branch, sample) decision — doing
         # this inside the scan body cost 2 threefry calls per layer per crop.
@@ -322,6 +327,17 @@ def _scan_blocks(
             block_fn = jax.checkpoint(
                 block_fn,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif cfg.remat_policy == "dots+attn":
+            # additionally save the attention kernel's output — without it
+            # the backward re-runs the whole fused attention forward just to
+            # rebuild the proj matmul's input
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                ),
             )
         else:
             block_fn = jax.checkpoint(block_fn)
