@@ -78,6 +78,15 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_freq", default=10, type=int)
     p.add_argument("--max_steps", default=0, type=int,
                    help="stop after N optimizer steps (0 = full run); smoke-test aid")
+    p.add_argument("--model_parallel", default=1, type=int,
+                   help="mesh size of the 'model' axis: shards the DINO head's "
+                        "out_dim-wide last layer, its Adam moments, the EMA copy "
+                        "and the center across chips (tensor parallelism); the "
+                        "remaining chips form the 'data' axis")
+    p.add_argument("--fsdp", default=False, type=bool_flag,
+                   help="ZeRO-shard params / Adam moments / EMA copy over the "
+                        "'data' axis (XLA all-gathers at use); memory lever for "
+                        "the larger encoders")
     return p
 
 
@@ -104,7 +113,12 @@ def train_dino(args) -> float:
     from dinomc_tpu.cli.common import ensure_dir, resolve_platform, set_seed
     from dinomc_tpu.ckpt.orbax_io import CheckpointManager
     from dinomc_tpu.core import schedules
-    from dinomc_tpu.core.mesh import batch_sharding, make_mesh, replicate
+    from dinomc_tpu.core.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate,
+        shard_dino_state,
+    )
     from dinomc_tpu.data.loader import PrefetchLoader, ShardedSampler
     from dinomc_tpu.data.seco import FlatImageFolder, MCBase, MCTemporal
     from dinomc_tpu.ops.augment import (
@@ -132,8 +146,10 @@ def train_dino(args) -> float:
     set_seed(args.seed + get_rank())
     ensure_dir(args.output_dir)
 
-    mesh = make_mesh()
     n_devices = len(jax.devices())
+    tp = max(1, getattr(args, "model_parallel", 1))
+    assert n_devices % tp == 0, f"model_parallel={tp} must divide {n_devices} devices"
+    mesh = make_mesh(data=n_devices // tp, model=tp)
     temporal = args.data_mode == "tp"
 
     # ---- data -------------------------------------------------------------
@@ -212,7 +228,9 @@ def train_dino(args) -> float:
         state = restored
         start_epoch = int(state.step) // niter_per_ep
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
-    state = replicate(mesh, state)
+    # head-TP shardings over the 'model' axis (+ optional ZeRO over 'data');
+    # degenerates to replication when model_parallel == 1 and fsdp is off.
+    state = shard_dino_state(mesh, state, fsdp=getattr(args, "fsdp", False))
     sch = replicate(mesh, sch)
 
     logger = JsonlLogger(f"{args.output_dir}/log.txt")

@@ -67,9 +67,13 @@ class ViTConfig:
     gelu_approx: bool = True
     # Remat policy under `remat=True`: 'full' recomputes the whole block in
     # backward (minimum memory); 'dots' saves matmul outputs and recomputes
-    # only elementwise ops (~fwd-worth of FLOPs cheaper per backward at
-    # ~4.4 GB extra HBM for the DINO-MC bench shapes).
-    remat_policy: str = "dots"
+    # only elementwise ops; 'dots+attn' additionally saves the fused
+    # attention output. Measured on v5e at the DINO-MC bench shapes the
+    # policies are FLOP-equal in practice (backward ≈ 3x forward for all
+    # three) but 'dots'/'dots+attn' also WRITE the saved tensors to HBM —
+    # 'full' is ~5-12% faster end-to-end (87.6 vs 91.8 img/s at B=32,
+    # 98.2 at B=24). Keep 'full' unless profiling says otherwise.
+    remat_policy: str = "full"
 
     @property
     def grid(self) -> int:

@@ -62,7 +62,6 @@ class DinoConfig:
     drop_path_rate: float = 0.1
     student_temp: float = 0.1
     center_momentum: float = 0.9
-    momentum_teacher: float = 0.996
     clip_grad: float = 3.0
     freeze_last_layer: int = 1
     optimizer: str = "adamw"

