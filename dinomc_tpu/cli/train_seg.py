@@ -48,6 +48,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--print_freq", default=10, type=int)
     p.add_argument("--max_steps", default=0, type=int)
+    p.add_argument("--seq_parallel", default=1, type=int,
+                   help="shard the ViT token axis over N chips (ring "
+                        "attention); the remaining chips form the data axis. "
+                        "For large inputs (512 px = 4097 tokens at patch 8)")
     return p
 
 
@@ -90,6 +94,16 @@ def train_seg(args) -> float:
     set_seed(args.seed)
     ensure_dir(args.output_dir)
     spec = sd.SPECS[args.dataset]
+
+    mesh = None
+    sp = max(1, getattr(args, "seq_parallel", 1))
+    if sp > 1:
+        from dinomc_tpu.core.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        assert n_dev % sp == 0, f"seq_parallel={sp} must divide {n_dev} devices"
+        mesh = make_mesh(data=n_dev // sp, seq=sp)
+        print(f"sequence-parallel backbone: mesh {dict(mesh.shape)}")
 
     if args.data_root == "synthetic":
         train_ds = _SyntheticSeg(16, args.image_size, spec.num_classes)
@@ -163,7 +177,7 @@ def train_seg(args) -> float:
             )
             state, m = seg_train_step(
                 state, imgs, msks, jnp.float32(lrs[min(it, len(lrs) - 1)]),
-                jnp.float32(args.weight_decay), cfg,
+                jnp.float32(args.weight_decay), cfg, mesh=mesh,
             )
             it += 1
             if it % args.print_freq == 0:
@@ -178,7 +192,7 @@ def train_seg(args) -> float:
                 jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(masks),
                 spec, train=False,
             )
-            logits = seg_predict(state.params, state.bn_state, imgs, cfg)
+            logits = seg_predict(state.params, state.bn_state, imgs, cfg, mesh=mesh)
             stats = M.seg_stats_update(stats, logits.argmax(-1), jnp.asarray(masks))
         scores = M.seg_stats_finalize(stats)
         print(M.format_class_metrics_table(spec.classes, scores))

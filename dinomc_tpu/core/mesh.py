@@ -14,9 +14,12 @@ Two further axes are first-class:
     Adam moments, the EMA copy, the center, and the logits across chips;
     the softmax/CE reductions become ICI collectives emitted by GSPMD.
     See ``dino_state_shardings``.
-  * ``seq`` — reserved for sequence/context parallelism (SURVEY.md §5.7);
-    size 1 for all parity workloads (the 4097-token 512 px segmentation
-    path fits one chip comfortably with flash attention).
+  * ``seq`` — sequence/context parallelism (SURVEY.md §5.7): the ViT
+    token axis shards across this axis and attention runs as ring
+    attention (``ops/ring_attention.py``, ``models/vit.vit_forward_sp``;
+    seg CLI ``--seq_parallel``). Size 1 for all parity workloads — the
+    4097-token 512 px segmentation path fits one chip comfortably with
+    flash attention, but scales over ``seq`` when sharded.
 """
 
 from __future__ import annotations

@@ -138,17 +138,31 @@ def dino_pyramid(
     backbone_params: Params,
     x: jnp.ndarray,  # (B, H, W, 3)
     cfg: UPerNetConfig,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Token taps -> CLS-stripped feature maps -> strides {4,8,16,32} pyramid
-    (reference ``DinoMCBackbone.forward``, ``networks.py:208-241``)."""
+    (reference ``DinoMCBackbone.forward``, ``networks.py:208-241``).
+
+    ``mesh``: a ``core/mesh`` mesh whose ``seq`` axis is > 1 runs the
+    backbone sequence-parallel (``models/vit.vit_forward_sp`` — ring
+    attention over token shards; the idiomatic way to spread the 4097-token
+    512 px input over chips)."""
     B, H, W, _ = x.shape
     vcfg = cfg.vit_config(img_size=H)
     # apply_norm=False: the reference backbone taps raw block outputs, NOT
     # final-LN'd (DinoMCBackbone runs blocks manually, networks.py:216-229 —
     # unlike get_intermediate_layers which norms each tap).
-    taps = vit_intermediate_layers(
-        backbone_params, x, vcfg, out_indices=cfg.out_indices, apply_norm=False
-    )  # (L, B, N+1, D)
+    if mesh is not None and mesh.shape.get("seq", 1) > 1:
+        from dinomc_tpu.models.vit import vit_forward_sp
+
+        taps = vit_forward_sp(
+            backbone_params, x, vcfg, mesh,
+            out_indices=cfg.out_indices, apply_norm=False,
+        )
+    else:
+        taps = vit_intermediate_layers(
+            backbone_params, x, vcfg, out_indices=cfg.out_indices, apply_norm=False
+        )  # (L, B, N+1, D)
     Hf, Wf = H // cfg.patch_size, W // cfg.patch_size
     feats = [t[:, 1:, :].reshape(B, Hf, Wf, cfg.embed_dim) for t in taps]
     sizes = [(2 * Hf, 2 * Wf), (Hf, Wf), (Hf // 2, Wf // 2), (Hf // 4, Wf // 4)]
@@ -185,11 +199,13 @@ def upernet_forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     with_aux: bool = False,
+    mesh=None,
 ):
     """'whole'-mode forward. Returns (logits (B, H, W, num_classes),
-    new_bn_state[, aux_logits])."""
+    new_bn_state[, aux_logits]). ``mesh`` with a ``seq`` axis > 1 runs the
+    ViT backbone sequence-parallel (see ``dino_pyramid``)."""
     B, H, W, _ = x.shape
-    pyramid = dino_pyramid(params["backbone"], x, cfg)
+    pyramid = dino_pyramid(params["backbone"], x, cfg, mesh=mesh)
     new_state: Params = {}
 
     if cfg.use_fpn_neck:

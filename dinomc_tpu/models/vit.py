@@ -56,8 +56,13 @@ class ViTConfig:
     # probability tensor and OOMs a v5e-16GB at DINO batch sizes.
     remat: bool = True
     # 'auto' = Pallas flash attention on TPU (no N^2 materialization),
-    # dense softmax elsewhere; 'dense' forces the reference formulation.
+    # dense softmax elsewhere; 'dense' forces the reference formulation;
+    # 'ring' = sequence-parallel ring attention (only valid inside the
+    # shard_map of vit_forward_sp, which sets it itself).
     attn_impl: str = "auto"
+    # Real (unpadded) global token count when running sequence-parallel —
+    # set by vit_forward_sp so ring attention masks padded tail keys.
+    attn_n_valid: Optional[int] = None
     # tanh-approximate GELU (True) vs exact erf (False). The reference uses
     # exact erf (torch nn.GELU default), but on TPU the erf transcendental
     # DOUBLES the MLP wall time (measured: 20.4 vs 10.0 ms per 12-layer MLP
@@ -217,7 +222,7 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
 
 
-def _attention(x, p_attn, num_heads, return_attn=False, impl="auto"):
+def _attention(x, p_attn, num_heads, return_attn=False, impl="auto", n_valid=None):
     """MHSA. x: (B, N, D) in compute dtype. Flash attention on TPU unless
     attention probabilities are requested (visualization path)."""
     from dinomc_tpu.ops.attention import dense_attention, mha
@@ -236,7 +241,7 @@ def _attention(x, p_attn, num_heads, return_attn=False, impl="auto"):
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v)
     else:
         attn = None
-        out = mha(q, k, v, scale, impl=impl)
+        out = mha(q, k, v, scale, impl=impl, n_valid=n_valid)
         from jax.ad_checkpoint import checkpoint_name
 
         out = checkpoint_name(out, "attn_out")
@@ -271,7 +276,9 @@ def _block(x, bp, cfg: ViTConfig, dp_keep, dp_masks, deterministic):
     dp_masks: (2, B) bool keep-decisions for the two residual branches."""
     eps = cfg.layernorm_eps
     y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], eps)
-    y, _ = _attention(y, bp["attn"], cfg.num_heads, impl=cfg.attn_impl)
+    y, _ = _attention(
+        y, bp["attn"], cfg.num_heads, impl=cfg.attn_impl, n_valid=cfg.attn_n_valid
+    )
     if not deterministic:
         y = _drop_path(y, dp_keep, dp_masks[0])
     x = x + y
@@ -393,6 +400,90 @@ def vit_intermediate_layers(
             taps, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps
         )
     return taps.astype(jnp.float32)
+
+
+def vit_forward_sp(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    mesh,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    out_indices: Optional[Sequence[int]] = None,
+    apply_norm: bool = True,
+    seq_axis: str = "seq",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel ViT forward: tokens sharded over the ``seq`` mesh
+    axis, attention via ring attention (``ops/ring_attention.py``).
+
+    This is the context-parallel path the survey reserved the ``seq`` axis
+    for (SURVEY.md §5.7): the 512 px / patch-8 segmentation input is 4097
+    tokens, and with n_seq chips each holds ~4097/n tokens while K/V blocks
+    rotate over ICI. LayerNorm/MLP/patch-projection are token-pointwise and
+    need no communication; only attention crosses shards.
+
+    ``out_indices=None`` returns the final-LN CLS token (B, D) f32 — same
+    contract as ``vit_forward``. Otherwise returns
+    (len(out_indices), B, N+1, D) f32 — same contract as
+    ``vit_intermediate_layers`` (the UPerNet feature source).
+
+    ``batch_axis`` optionally also shards the batch dim (compose dp x sp);
+    params and rng are replicated, so per-sample DropPath decisions agree
+    across token shards by construction.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = mesh.shape[seq_axis]
+    tokens = prepare_tokens(params, x, cfg)  # (B, N+1, D)
+    N1 = tokens.shape[1]
+    Np = -(-N1 // n_seq) * n_seq
+    if Np != N1:
+        tokens = jnp.pad(tokens, ((0, 0), (0, Np - N1), (0, 0)))
+    cfg_sp = dataclasses.replace(
+        cfg, attn_impl="ring", attn_n_valid=N1 if Np != N1 else None
+    )
+    collect = out_indices is not None
+
+    tok_spec = P(batch_axis, seq_axis, None)
+    # None can't travel through shard_map in_specs; fold the no-rng case
+    # into a dummy key + deterministic=True (same no-stochastic-depth path).
+    deterministic = deterministic or rng is None
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(blocks_params, norm_params, tok_local, body_rng):
+        if batch_axis is not None:
+            # decorrelate DropPath across batch shards; constant over the
+            # seq axis so token shards of one sample still agree
+            body_rng = jax.random.fold_in(body_rng, jax.lax.axis_index(batch_axis))
+        out, inter = _scan_blocks(
+            {"blocks": blocks_params}, tok_local, cfg_sp, body_rng, deterministic,
+            collect,
+        )
+        if collect:
+            taps = inter[jnp.asarray(out_indices)]
+            if apply_norm:
+                taps = layer_norm(
+                    taps, norm_params["scale"], norm_params["bias"], cfg.layernorm_eps
+                )
+            return taps.astype(jnp.float32)
+        out = layer_norm(
+            out, norm_params["scale"], norm_params["bias"], cfg.layernorm_eps
+        )
+        return out.astype(jnp.float32)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), tok_spec, P()),
+        out_specs=(P(None, batch_axis, seq_axis, None) if collect else tok_spec),
+        check_vma=False,
+    )
+    out = sharded(params["blocks"], params["norm"], tokens, rng)
+    if collect:
+        return out[:, :, :N1]
+    return out[:, 0]
 
 
 def vit_last_selfattention(

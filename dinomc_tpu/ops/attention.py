@@ -74,13 +74,21 @@ def mha(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     impl: str = "auto",
+    axis_name: str = "seq",
+    n_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over (B, N, heads, head_dim) tensors.
 
-    impl: 'auto' (flash on TPU, dense elsewhere) | 'flash' | 'dense'.
+    impl: 'auto' (flash on TPU, dense elsewhere) | 'flash' | 'dense' |
+    'ring' (sequence-parallel: q/k/v are per-shard slices inside a
+    ``shard_map`` over ``axis_name``; ``n_valid`` masks padded tail keys).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "ring":
+        from dinomc_tpu.ops.ring_attention import ring_attention
+
+        return ring_attention(q, k, v, scale, axis_name, n_valid)
     if impl == "auto":
         if jax.default_backend() == "tpu":
             from dinomc_tpu.ops.pallas.attention import MAX_FUSED_LEN, _pad_len

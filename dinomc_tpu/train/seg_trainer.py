@@ -67,7 +67,7 @@ def init_seg_train_state(key: jax.Array, cfg: SegConfig) -> SegTrainState:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnames=("state",))
 def seg_train_step(
     state: SegTrainState,
     images: jnp.ndarray,  # (B, H, W, 3) normalized
@@ -75,6 +75,7 @@ def seg_train_step(
     lr: jnp.ndarray,
     weight_decay: jnp.ndarray,
     cfg: SegConfig,
+    mesh=None,  # seq-axis > 1: sequence-parallel ViT backbone (ring attention)
 ) -> Tuple[SegTrainState, Dict[str, jnp.ndarray]]:
     rng, step_rng = jax.random.split(state.rng)
 
@@ -87,6 +88,7 @@ def seg_train_step(
             train=True,
             rng=step_rng,
             with_aux=cfg.use_aux_loss,
+            mesh=mesh,
         )
         if cfg.use_aux_loss:
             logits, new_bn, aux_logits = out
@@ -122,10 +124,13 @@ def seg_train_step(
     return new_state, {"loss": loss, "pixel_acc": acc, "lr": lr}
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
 def seg_predict(
-    params: Params, bn_state: Params, images: jnp.ndarray, cfg: SegConfig
+    params: Params, bn_state: Params, images: jnp.ndarray, cfg: SegConfig, mesh=None
 ) -> jnp.ndarray:
-    """Eval-mode logits (B, H, W, C) — 'whole' test mode."""
-    logits, _ = upernet_forward(params, bn_state, images, cfg.model, train=False)
+    """Eval-mode logits (B, H, W, C) — 'whole' test mode. ``mesh`` with a
+    ``seq`` axis > 1 spreads the token axis over chips (ring attention)."""
+    logits, _ = upernet_forward(
+        params, bn_state, images, cfg.model, train=False, mesh=mesh
+    )
     return logits

@@ -93,3 +93,17 @@ def test_train_seg_cli(tmp_path):
     ))
     miou = mod.train_seg(args)
     assert 0.0 <= miou <= 100.0
+
+
+def test_train_seg_cli_seq_parallel(tmp_path):
+    """Seg training with the ViT token axis sharded over 'seq' (ring
+    attention), backbone trainable so grads flow through the ppermute ring."""
+    from dinomc_tpu.cli import train_seg as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, image_size=64, epochs=1,
+        max_steps=2, batch_size=2, output_dir=str(tmp_path), print_freq=1,
+        seq_parallel=4, train_backbone=True,
+    ))
+    miou = mod.train_seg(args)
+    assert 0.0 <= miou <= 100.0
