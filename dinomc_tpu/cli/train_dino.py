@@ -87,6 +87,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="ZeRO-shard params / Adam moments / EMA copy over the "
                         "'data' axis (XLA all-gathers at use); memory lever for "
                         "the larger encoders")
+    p.add_argument("--grad_accum_steps", default=1, type=int,
+                   help="split each batch into N sequential microbatches and "
+                        "apply one optimizer step on the averaged gradients "
+                        "(reference-scale effective batches on few chips); "
+                        "batch_size_per_gpu must be divisible by N")
     return p
 
 
@@ -136,6 +141,7 @@ def train_dino(args) -> float:
         DinoConfig,
         DinoSchedules,
         dino_train_step,
+        dino_train_step_accum,
         init_dino_train_state,
     )
     from dinomc_tpu.utils.logging import JsonlLogger, MetricLogger
@@ -236,6 +242,11 @@ def train_dino(args) -> float:
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
     aug_rng = jax.random.PRNGKey(args.seed + 1)
     last_loss = float("nan")
+    accum = max(1, getattr(args, "grad_accum_steps", 1))
+    if accum > 1:
+        assert args.batch_size_per_gpu * n_devices % accum == 0, (
+            f"grad_accum_steps={accum} must divide the device batch"
+        )
 
     for epoch in range(start_epoch, args.epochs):
         sampler.set_epoch(epoch)
@@ -252,7 +263,17 @@ def train_dino(args) -> float:
                 g, locals_ = multicrop_augment_tp(k, views, mc_cfg)
             else:
                 g, locals_ = multicrop_augment(k, batch, mc_cfg)
-            state, metrics = dino_train_step(state, g, locals_, sch, cfg)
+            if accum > 1:
+                # (G, B, ...) -> (A, G, b, ...); locals (B, ...) -> (A, b, ...)
+                G, B = g.shape[0], g.shape[1]
+                b = B // accum
+                g = g.reshape((G, accum, b) + g.shape[2:]).swapaxes(0, 1)
+                locals_ = tuple(
+                    x.reshape((accum, b) + x.shape[1:]) for x in locals_
+                )
+                state, metrics = dino_train_step_accum(state, g, locals_, sch, cfg)
+            else:
+                state, metrics = dino_train_step(state, g, locals_, sch, cfg)
             if it % args.print_freq == 0:
                 last_loss = float(metrics["loss"])  # host sync
                 if not math.isfinite(last_loss):

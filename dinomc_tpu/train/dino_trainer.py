@@ -243,6 +243,110 @@ def dino_train_step(
         loss_fn, has_aux=True
     )(state.student)
 
+    return _finish_step(
+        state, grads, loss, new_center, new_student_state, new_teacher_state,
+        rng, lr, wd, ema_m, epoch, cfg,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def dino_train_step_accum(
+    state: DinoTrainState,
+    global_crops: jnp.ndarray,  # (A, G, b, S, S, 3) — A microbatches
+    local_crops: Tuple[jnp.ndarray, ...],  # each (A, b, s, s, 3)
+    schedules: DinoSchedules,
+    cfg: DinoConfig,
+) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
+    """Gradient accumulation: one optimizer step from A microbatches.
+
+    Not in the reference (which scales batch only via more GPUs); this is
+    the single-chip lever for reference-scale effective batches (e.g. the
+    paper's 8/GPU x N). Semantics match one large batch of size A*b:
+    gradients and the teacher-logit batch center are averaged over all
+    microbatches, the center EMA and the teacher EMA update ONCE, and the
+    pre-step center is used for every microbatch's loss. The microbatch
+    loop is a ``lax.scan`` (one compiled body; activations from microbatch
+    i are freed before i+1 — peak HBM is one microbatch's worth).
+
+    BN backbones: running stats thread through the scan sequentially (the
+    same stats drift a large batch would produce in expectation).
+    """
+    enc_s = cfg.encoder(student=True)
+    enc_t = cfg.encoder(student=False)
+    head_cfg = cfg.head_config()
+    A = global_crops.shape[0]
+
+    step = state.step
+    epoch = step // cfg.niter_per_ep
+    lr = schedules.lr[step]
+    wd = schedules.wd[step]
+    ema_m = schedules.teacher_momentum[step]
+    teacher_temp = schedules.teacher_temp[epoch]
+
+    rng, step_rng = jax.random.split(state.rng)
+    micro_rngs = jax.random.split(step_rng, A)
+
+    def micro(carry, xs):
+        grads_acc, loss_acc, bc_acc, t_state, s_state = carry
+        g, locals_, mrng = xs
+
+        teacher_logits, t_state = _forward_crops(
+            state.teacher, t_state, g, (), enc_t, head_cfg, None, enc_t.has_bn
+        )
+
+        def loss_fn(student_params):
+            student_logits, new_bn = _forward_crops(
+                student_params, s_state, g, locals_, enc_s, head_cfg, mrng, True
+            )
+            loss, _ = dino_loss(
+                student_logits,
+                teacher_logits,
+                state.center,  # pre-step center for every microbatch
+                teacher_temp,
+                cfg.student_temp,
+                cfg.center_momentum,
+            )
+            return loss, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student
+        )
+        grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        bc = jnp.mean(
+            teacher_logits.reshape(-1, teacher_logits.shape[-1]), axis=0
+        )
+        return (grads_acc, loss_acc + loss, bc_acc + bc, t_state, new_bn), None
+
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.student)
+    carry0 = (
+        zero_grads,
+        jnp.zeros((), jnp.float32),
+        jnp.zeros_like(state.center),
+        state.teacher_state,
+        state.student_state,
+    )
+    (grads, loss_sum, bc_sum, new_teacher_state, new_student_state), _ = (
+        jax.lax.scan(micro, carry0, (global_crops, local_crops, micro_rngs))
+    )
+    inv_a = 1.0 / A
+    grads = jax.tree_util.tree_map(lambda g: g * inv_a, grads)
+    loss = loss_sum * inv_a
+    new_center = jax.lax.stop_gradient(
+        state.center * cfg.center_momentum
+        + (bc_sum * inv_a) * (1.0 - cfg.center_momentum)
+    )
+
+    return _finish_step(
+        state, grads, loss, new_center, new_student_state, new_teacher_state,
+        rng, lr, wd, ema_m, epoch, cfg,
+    )
+
+
+def _finish_step(
+    state, grads, loss, new_center, new_student_state, new_teacher_state,
+    rng, lr, wd, ema_m, epoch, cfg: DinoConfig,
+):
+    """Clip -> masked optimizer update -> EMA teacher -> new state."""
     if cfg.clip_grad > 0:
         grads = optim.clip_gradients_per_tensor(grads, cfg.clip_grad)
 
@@ -270,7 +374,7 @@ def dino_train_step(
     )
 
     new_state = DinoTrainState(
-        step=step + 1,
+        step=state.step + 1,
         student=new_student,
         teacher=new_teacher,
         student_state=new_student_state,

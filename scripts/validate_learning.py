@@ -83,6 +83,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--probe_every", type=int, default=0,
+                    help="also print k-NN accuracy every N steps (0 = only "
+                         "before/after) — shows the early-phase dip-and-"
+                         "recover trajectory of DINO instead of a single "
+                         "endpoint")
     args = ap.parse_args()
 
     import jax
@@ -164,10 +169,12 @@ def main():
         state, m = dino_train_step(state, g, locals_, sch, cfg)
         if step % 50 == 0 or step == args.steps - 1:
             loss = float(m["loss"])
-            print(f"step {step}: loss {loss:.4f}  ({time.time()-t0:.0f}s)")
+            print(f"step {step}: loss {loss:.4f}  ({time.time()-t0:.0f}s)", flush=True)
             if not np.isfinite(loss):
                 print("NaN loss — failing")
                 return 1
+        if args.probe_every and step and step % args.probe_every == 0:
+            print(f"  k-NN @ step {step}: {knn_acc(state.teacher):.2f}%", flush=True)
 
     acc_after = knn_acc(state.teacher)
     print(f"k-NN acc after {args.steps} steps: {acc_after:.2f}%")

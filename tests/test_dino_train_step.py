@@ -147,3 +147,41 @@ def test_sharded_train_step_matches_single_device(mesh8):
     np.testing.assert_allclose(
         np.asarray(state_r.center), np.asarray(state_sh.center), rtol=2e-3, atol=1e-5
     )
+
+
+def test_grad_accum_matches_big_batch():
+    """A=2 microbatches of b=4 must equal one step on the full B=8 batch
+    (SGD + no DropPath => gradients are linear in the batch; the averaged
+    microbatch grads, the averaged teacher batch-center, and the single
+    EMA/optimizer application reproduce the big-batch step exactly)."""
+    from dinomc_tpu.train.dino_trainer import dino_train_step_accum
+
+    cfg = dataclasses.replace(TINY, optimizer="sgd", drop_path_rate=0.0)
+    sch = _schedules(cfg)
+    g, locals_ = _batch(B=8, n_locals=2)
+
+    st_big = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+    st_big, m_big = dino_train_step(st_big, g, locals_, sch, cfg)
+
+    A, b = 2, 4
+    g_m = g.reshape((2, A, b) + g.shape[2:]).swapaxes(0, 1)  # (A, 2, b, ...)
+    locals_m = tuple(x.reshape((A, b) + x.shape[1:]) for x in locals_)
+    st_acc = init_dino_train_state(jax.random.PRNGKey(0), cfg)
+    st_acc, m_acc = dino_train_step_accum(st_acc, g_m, locals_m, sch, cfg)
+
+    np.testing.assert_allclose(
+        float(m_acc["loss"]), float(m_big["loss"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_acc.center), np.asarray(st_big.center), rtol=1e-5, atol=1e-6
+    )
+    for path in (("backbone", "patch_embed", "kernel"),
+                 ("head", "last_layer", "v")):
+        a, bL = st_acc.student, st_big.student
+        for kkey in path:
+            a, bL = a[kkey], bL[kkey]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bL), rtol=2e-4, atol=2e-6,
+            err_msg=f"param mismatch at {'/'.join(path)}",
+        )
+    assert int(st_acc.step) == 1
