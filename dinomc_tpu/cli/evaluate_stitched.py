@@ -36,6 +36,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="resize stitched logits/GT to this (H, W); default native")
     p.add_argument("--export_logits_dir", default="", type=str)
     p.add_argument("--limit", default=0, type=int)
+    p.add_argument("--seq_parallel", default=1, type=int,
+                   help="shard the ViT token axis over N chips (ring "
+                        "attention) for large --model_size tiles")
     return p
 
 
@@ -75,8 +78,17 @@ def run(args):
             print(f"restored seg checkpoint from {args.ckpt}")
         mgr.close()
 
+    mesh = None
+    sp = max(1, getattr(args, "seq_parallel", 1))
+    if sp > 1:
+        from dinomc_tpu.core.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        assert n_dev % sp == 0, f"seq_parallel={sp} must divide {n_dev} devices"
+        mesh = make_mesh(data=n_dev // sp, seq=sp)
+
     def predict_fn(x):
-        return seg_predict(state.params, state.bn_state, x, cfg)
+        return seg_predict(state.params, state.bn_state, x, cfg, mesh=mesh)
 
     def samples():
         if args.data_root == "synthetic":

@@ -30,6 +30,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="prediction.png", type=str)
     p.add_argument("--figure", default="", type=str,
                    help="also save a side-by-side legend figure here")
+    p.add_argument("--seq_parallel", default=1, type=int,
+                   help="shard the ViT token axis over N chips (ring "
+                        "attention) for large --model_size inputs")
     return p
 
 
@@ -66,8 +69,17 @@ def run(args):
     img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
     x = normalize(jnp.asarray(img), spec.mean, spec.std)
 
+    mesh = None
+    sp = max(1, getattr(args, "seq_parallel", 1))
+    if sp > 1:
+        from dinomc_tpu.core.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        assert n_dev % sp == 0, f"seq_parallel={sp} must divide {n_dev} devices"
+        mesh = make_mesh(data=n_dev // sp, seq=sp)
+
     def predict_fn(batch):
-        return seg_predict(state.params, state.bn_state, batch, cfg)
+        return seg_predict(state.params, state.bn_state, batch, cfg, mesh=mesh)
 
     if args.grid:
         logits = tiled_predict(predict_fn, x, tuple(args.grid), args.model_size)

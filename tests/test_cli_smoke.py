@@ -111,6 +111,48 @@ def test_train_seg_cli(tmp_path):
     assert 0.0 <= miou <= 100.0
 
 
+def test_evaluate_stitched_cli(tmp_path):
+    """Tiled inference + stitched eval + reference-format logit export, with
+    the sequence-parallel backbone enabled."""
+    import json
+    import os
+
+    from dinomc_tpu.cli import evaluate_stitched as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, model_size=64, grid=[2, 2],
+        export_logits_dir=str(tmp_path / "logits"), limit=1, seq_parallel=2,
+    ))
+    scores = mod.run(args)
+    assert 0.0 <= scores["miou"] <= 1.0
+    meta = json.load(open(tmp_path / "logits" / "patches_metadata.json"))
+    assert len(meta) == 4  # 2x2 grid of one image
+    assert len([f for f in os.listdir(tmp_path / "logits") if f.endswith(".npy")]) == 4
+
+
+def test_predict_cli(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from dinomc_tpu.cli import predict as mod
+
+    img_path = str(tmp_path / "img.png")
+    Image.fromarray(
+        (np.random.RandomState(0).rand(96, 128, 3) * 255).astype("uint8")
+    ).save(img_path)
+    p = mod.get_args_parser()
+    args = p.parse_args(["--image", img_path])
+    for k, v in dict(
+        arch="vit_tiny", patch_size=16, model_size=64,
+        out=str(tmp_path / "pred.png"), figure=str(tmp_path / "fig.png"),
+    ).items():
+        setattr(args, k, v)
+    pred = mod.run(args)
+    assert pred.shape == (96, 128)
+    assert (tmp_path / "pred.png").exists()
+    assert (tmp_path / "fig.png").exists()
+
+
 def test_train_seg_cli_seq_parallel(tmp_path):
     """Seg training with the ViT token axis sharded over 'seq' (ring
     attention), backbone trainable so grads flow through the ppermute ring."""

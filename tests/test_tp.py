@@ -149,3 +149,40 @@ def test_model_axis_degenerate_on_dp_mesh():
     assert all(isinstance(s, NamedSharding) for s in shard_specs)
     v = st.student["head"]["last_layer"]["v"]
     assert v.sharding.is_fully_replicated or v.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_tp_checkpoint_resume_continuity(tmp_path):
+    """Save mid-training under a dp x tp mesh, restore, re-shard, continue:
+    must match the uninterrupted run exactly (the preemption-requeue path
+    for tensor-parallel state — device_get gathers shards to full host
+    arrays, restore re-places them via shard_dino_state)."""
+    from dinomc_tpu.ckpt.orbax_io import CheckpointManager
+
+    cfg = _tiny_cfg()
+    sch, g, locals_ = _setup(cfg)
+    mesh = make_mesh(jax.devices(), data=2, seq=1, model=4)
+
+    # uninterrupted: 2 steps
+    st_a = shard_dino_state(mesh, init_dino_train_state(jax.random.PRNGKey(0), cfg))
+    st_a, _ = _run_steps(mesh, st_a, sch, g, locals_, cfg, n=2)
+
+    # interrupted: 1 step, checkpoint, restore into a fresh template, 1 step
+    st_b = shard_dino_state(mesh, init_dino_train_state(jax.random.PRNGKey(0), cfg))
+    st_b, _ = _run_steps(mesh, st_b, sch, g, locals_, cfg, n=1)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, jax.device_get(st_b))
+    mgr.wait()
+    template = init_dino_train_state(jax.random.PRNGKey(42), cfg)  # different seed
+    restored = mgr.restore(jax.device_get(template))
+    mgr.close()
+    assert restored is not None and int(restored.step) == 1
+    st_c = shard_dino_state(mesh, restored)
+    st_c, losses_c = _run_steps(mesh, st_c, sch, g, locals_, cfg, n=1)
+
+    v_a = np.asarray(st_a.student["head"]["last_layer"]["v"])
+    v_c = np.asarray(st_c.student["head"]["last_layer"]["v"])
+    np.testing.assert_allclose(v_c, v_a, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(st_c.center), np.asarray(st_a.center), rtol=1e-6, atol=1e-7
+    )
+    assert int(st_c.step) == 2
