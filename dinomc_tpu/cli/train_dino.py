@@ -244,8 +244,13 @@ def train_dino(args) -> float:
     last_loss = float("nan")
     accum = max(1, getattr(args, "grad_accum_steps", 1))
     if accum > 1:
-        assert args.batch_size_per_gpu * n_devices % accum == 0, (
-            f"grad_accum_steps={accum} must divide the device batch"
+        # Per-GPU divisibility (as documented): microbatches then keep
+        # b = (batch_size_per_gpu/accum) * n_devices samples — still
+        # divisible by the data axis, so each microbatch shards cleanly
+        # instead of silently replicating.
+        assert args.batch_size_per_gpu % accum == 0, (
+            f"grad_accum_steps={accum} must divide "
+            f"batch_size_per_gpu={args.batch_size_per_gpu}"
         )
 
     for epoch in range(start_epoch, args.epochs):

@@ -175,6 +175,13 @@ def train_seg(args) -> float:
             imgs, msks = sd.augment_batch(
                 k, jnp.asarray(images), jnp.asarray(masks), spec, train=True
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_data = mesh.shape["data"]
+                if n_data > 1 and imgs.shape[0] % n_data == 0:
+                    imgs = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+                    msks = jax.device_put(msks, NamedSharding(mesh, P("data")))
             state, m = seg_train_step(
                 state, imgs, msks, jnp.float32(lrs[min(it, len(lrs) - 1)]),
                 jnp.float32(args.weight_decay), cfg, mesh=mesh,

@@ -53,8 +53,15 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over BOTH the data and model axes.
+
+    Sharding over ``model`` too keeps the backbone forward/backward (the
+    dominant FLOPs) data-parallel across the model-axis chips — the head's
+    out_dim-sharded last layer is where GSPMD reshards. With only
+    ``P(data)``, the model-axis chips would redundantly recompute the whole
+    backbone on identical samples. Degenerates to ``P(data)`` when the
+    model axis is size 1."""
+    return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

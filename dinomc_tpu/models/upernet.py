@@ -155,9 +155,14 @@ def dino_pyramid(
     if mesh is not None and mesh.shape.get("seq", 1) > 1:
         from dinomc_tpu.models.vit import vit_forward_sp
 
+        # Also spread the batch over the data axis when it divides — without
+        # this the data-axis chips would replicate the whole backbone.
+        n_data = mesh.shape.get("data", 1)
+        batch_axis = "data" if (n_data > 1 and B % n_data == 0) else None
         taps = vit_forward_sp(
             backbone_params, x, vcfg, mesh,
             out_indices=cfg.out_indices, apply_norm=False,
+            batch_axis=batch_axis,
         )
     else:
         taps = vit_intermediate_layers(

@@ -63,6 +63,9 @@ class ViTConfig:
     # Real (unpadded) global token count when running sequence-parallel —
     # set by vit_forward_sp so ring attention masks padded tail keys.
     attn_n_valid: Optional[int] = None
+    # Mesh axis the ring rotates over (set by vit_forward_sp from its
+    # seq_axis argument; only meaningful when attn_impl == 'ring').
+    attn_axis: str = "seq"
     # tanh-approximate GELU (True) vs exact erf (False). The reference uses
     # exact erf (torch nn.GELU default), but on TPU the erf transcendental
     # DOUBLES the MLP wall time (measured: 20.4 vs 10.0 ms per 12-layer MLP
@@ -222,7 +225,10 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
 
 
-def _attention(x, p_attn, num_heads, return_attn=False, impl="auto", n_valid=None):
+def _attention(
+    x, p_attn, num_heads, return_attn=False, impl="auto", n_valid=None,
+    axis_name="seq",
+):
     """MHSA. x: (B, N, D) in compute dtype. Flash attention on TPU unless
     attention probabilities are requested (visualization path)."""
     from dinomc_tpu.ops.attention import dense_attention, mha
@@ -241,7 +247,7 @@ def _attention(x, p_attn, num_heads, return_attn=False, impl="auto", n_valid=Non
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v)
     else:
         attn = None
-        out = mha(q, k, v, scale, impl=impl, n_valid=n_valid)
+        out = mha(q, k, v, scale, impl=impl, axis_name=axis_name, n_valid=n_valid)
         from jax.ad_checkpoint import checkpoint_name
 
         out = checkpoint_name(out, "attn_out")
@@ -277,7 +283,8 @@ def _block(x, bp, cfg: ViTConfig, dp_keep, dp_masks, deterministic):
     eps = cfg.layernorm_eps
     y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], eps)
     y, _ = _attention(
-        y, bp["attn"], cfg.num_heads, impl=cfg.attn_impl, n_valid=cfg.attn_n_valid
+        y, bp["attn"], cfg.num_heads, impl=cfg.attn_impl,
+        n_valid=cfg.attn_n_valid, axis_name=cfg.attn_axis,
     )
     if not deterministic:
         y = _drop_path(y, dp_keep, dp_masks[0])
@@ -420,8 +427,13 @@ def vit_forward_sp(
     This is the context-parallel path the survey reserved the ``seq`` axis
     for (SURVEY.md §5.7): the 512 px / patch-8 segmentation input is 4097
     tokens, and with n_seq chips each holds ~4097/n tokens while K/V blocks
-    rotate over ICI. LayerNorm/MLP/patch-projection are token-pointwise and
-    need no communication; only attention crosses shards.
+    rotate over ICI. Inside the blocks, LayerNorm/MLP are token-pointwise
+    and need no communication; only attention crosses shards. Patchify +
+    patch projection + pos-embed (``prepare_tokens``) run replicated BEFORE
+    the token scatter — they are ~4% of total FLOPs (1 matmul vs 12 blocks
+    of 6), and keeping them outside ``shard_map`` avoids special-casing the
+    CLS token across shard boundaries; shard them too if profiling a much
+    deeper model says otherwise.
 
     ``out_indices=None`` returns the final-LN CLS token (B, D) f32 — same
     contract as ``vit_forward``. Otherwise returns
@@ -441,7 +453,8 @@ def vit_forward_sp(
     if Np != N1:
         tokens = jnp.pad(tokens, ((0, 0), (0, Np - N1), (0, 0)))
     cfg_sp = dataclasses.replace(
-        cfg, attn_impl="ring", attn_n_valid=N1 if Np != N1 else None
+        cfg, attn_impl="ring", attn_n_valid=N1 if Np != N1 else None,
+        attn_axis=seq_axis,
     )
     collect = out_indices is not None
 

@@ -89,6 +89,12 @@ def mha(
         from dinomc_tpu.ops.ring_attention import ring_attention
 
         return ring_attention(q, k, v, scale, axis_name, n_valid)
+    if n_valid is not None:
+        raise ValueError(
+            f"n_valid(={n_valid}) masking is only implemented for impl='ring' "
+            f"(got impl={impl!r}); fused/flash/dense would silently attend to "
+            "padded-tail keys"
+        )
     if impl == "auto":
         if jax.default_backend() == "tpu":
             from dinomc_tpu.ops.pallas.attention import MAX_FUSED_LEN, _pad_len

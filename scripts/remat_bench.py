@@ -1,7 +1,7 @@
 """Compare remat policies / batch sizes on the full DINO step (real chip).
 
 Usage: python scripts/remat_bench.py [policy ...]
-Policies default to: dots dots+attn full. Also sweeps B in {32, 48, 64}.
+Policies default to: dots dots+attn. Sweeps B in {32, 64}.
 """
 
 import dataclasses
@@ -26,8 +26,11 @@ from dinomc_tpu.train.dino_trainer import (
 
 
 def run(policy: str, B: int) -> float:
-    # Inject the remat policy through the factory layer (ViTConfig is the
-    # static arg of the jitted step, so each policy compiles fresh).
+    # Inject the remat policy through the factory layer. The patched factory
+    # only runs at TRACE time and DinoConfig (the jit cache key) carries no
+    # remat field — without dropping the cache, every policy after the first
+    # at a given B would silently re-time the first policy's executable.
+    jax.clear_caches()
     orig = EncoderConfig._vit_cfg
 
     def patched(self):

@@ -63,9 +63,12 @@ def _setup(cfg):
 
 def _run_steps(mesh, state, sch, g, locals_, cfg, n=2):
     sch = replicate(mesh, sch)
-    g = jax.device_put(g, NamedSharding(mesh, P(None, "data")))
+    # production batch layout: shard over data AND model axes so the
+    # backbone stays data-parallel across model-axis chips
+    g = jax.device_put(g, NamedSharding(mesh, P(None, ("data", "model"))))
     locals_ = tuple(
-        jax.device_put(x, NamedSharding(mesh, P("data"))) for x in locals_
+        jax.device_put(x, NamedSharding(mesh, P(("data", "model"))))
+        for x in locals_
     )
     losses = []
     for _ in range(n):
@@ -148,7 +151,12 @@ def test_model_axis_degenerate_on_dp_mesh():
     )
     assert all(isinstance(s, NamedSharding) for s in shard_specs)
     v = st.student["head"]["last_layer"]["v"]
-    assert v.sharding.is_fully_replicated or v.sharding.spec == P(None, MODEL_AXIS)
+    # model=1, fsdp off: every leaf must be effectively fully replicated
+    # (a P(None, MODEL_AXIS) over a size-1 axis qualifies; sharding over
+    # 'data' would not)
+    assert v.sharding.is_fully_replicated
+    qkv = st.student["backbone"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.is_fully_replicated
 
 
 def test_tp_checkpoint_resume_continuity(tmp_path):
