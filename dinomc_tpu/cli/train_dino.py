@@ -173,9 +173,12 @@ def train_dino(args) -> float:
         except (FileNotFoundError, NotADirectoryError):
             dataset = FlatImageFolder(args.data_path, image_size=args.image_size)
 
-    global_batch = args.batch_size_per_gpu * n_devices * get_world_size()
+    # n_devices (= len(jax.devices())) is GLOBAL across hosts; each host
+    # loads batch_size_per_gpu x its local chips and the loader assembles
+    # the global array from the per-process shards.
+    global_batch = args.batch_size_per_gpu * n_devices
     sampler = ShardedSampler(
-        len(dataset), args.batch_size_per_gpu * n_devices,
+        len(dataset), args.batch_size_per_gpu * jax.local_device_count(),
         num_shards=get_world_size(), shard_id=get_rank(), seed=args.seed,
     )
     loader = PrefetchLoader(

@@ -118,7 +118,16 @@ class PrefetchLoader:
                     items = [self.dataset[int(i)] for i in idx]
                     batch = self.collate(items)
                     if self.sharding is not None:
-                        batch = jax.device_put(batch, self.sharding)
+                        if jax.process_count() > 1:
+                            # multi-host: this process's batch is its shard
+                            # of the global batch (ShardedSampler gave each
+                            # host disjoint indices); device_put can't
+                            # target non-addressable devices
+                            batch = jax.make_array_from_process_local_data(
+                                self.sharding, np.asarray(batch)
+                            )
+                        else:
+                            batch = jax.device_put(batch, self.sharding)
                     if not put(batch):
                         return
             except BaseException as e:  # surface in the consumer, not stderr
