@@ -370,9 +370,19 @@ def multicrop_augment(
     return jnp.stack([g0, g1], axis=0), locals_
 
 
-def _tp_photo_aug(rng, images):
+def _tp_photo_aug(rng, images, cfg: MultiCropConfig):
     """MCTemporal's class-level augment (``dino_dataset.py:97-104``):
-    jitter(0.4,0.4,0.4,0.1)@.8 + grayscale@.2 + blur@.5 + hflip@.5."""
+    jitter(0.4,0.4,0.4,0.1)@.8 + grayscale@.2 + blur@.5 + hflip@.5.
+
+    Deliberately NOT routed through the fused Pallas kernel: unlike the MC
+    path (kernel on 8 crop batches, measured ~25% faster), TP applies
+    photometrics to only 2 full-size pre-crop views and the step is
+    dominated by the 9 random_resized_crops — measured on v5e the fused
+    form is slightly SLOWER here (41.4 vs 37.3 ms at 4x16x224px; NCHW
+    transposes outweigh the fusion win), and above 224 px the kernel's
+    per-image VMEM residency (~18 MB at 256 px vs the 16 MB scoped limit)
+    overflows anyway. The kernel supports this chain (identity mean/std,
+    p_sol=0 — tested in test_fused_augment) if the tradeoff changes."""
     k = jax.random.split(rng, 4)
     x = color_jitter(k[0], images, 0.4, 0.4, 0.4, 0.1, p=0.8)
     x = random_grayscale(k[1], x, p=0.2)
@@ -393,8 +403,8 @@ def multicrop_augment_tp(
     the crop transforms themselves add no color aug."""
     keys = jax.random.split(rng, 5 + len(cfg.local_sizes))
     views = [images[1], images[2], images[3]]
-    views[0] = _tp_photo_aug(keys[3], views[0])
-    views[2] = _tp_photo_aug(keys[4], views[2])
+    views[0] = _tp_photo_aug(keys[3], views[0], cfg)
+    views[2] = _tp_photo_aug(keys[4], views[2], cfg)
     globals_ = []
     for i, v in enumerate(views):
         x = random_resized_crop(keys[i], v, cfg.global_size, cfg.global_scale)

@@ -170,20 +170,26 @@ def _photometric_kernel(
         out_ref[0, c] = (x[c] - mean[c]) * (1.0 / std[c])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mean", "std"))
 def fused_photometric(
     images: jnp.ndarray,  # (B, 3, S, S) f32 planar, values in [0, 1]
     params: jnp.ndarray,  # (B, P_LEN) f32
     interpret: bool = False,
+    mean: Tuple[float, float, float] = tuple(xaug.IMAGENET_MEAN),
+    std: Tuple[float, float, float] = tuple(xaug.IMAGENET_STD),
 ) -> jnp.ndarray:
-    """Run the full flip+jitter+gray+blur+solarize+normalize chain fused."""
+    """Run the full flip+jitter+gray+blur+solarize+normalize chain fused.
+
+    ``mean=(0,0,0), std=(1,1,1)`` turns the final normalize into identity —
+    used by the DINO-TP pre-crop photometric chain, which normalizes later
+    (after cropping)."""
     B, C, S, _ = images.shape
     assert C == 3
     kern = functools.partial(
         _photometric_kernel,
         S=S,
-        mean=tuple(xaug.IMAGENET_MEAN),
-        std=tuple(xaug.IMAGENET_STD),
+        mean=tuple(mean),
+        std=tuple(std),
     )
     return pl.pallas_call(
         kern,

@@ -167,3 +167,28 @@ def test_full_chain_parity_on_tpu():
              atol=5e-2, interpret=False)
     _compare(1, (0.4, 0.4, 0.2, 0.1), 0.8, 0.2, 0.1, 0.2,
              atol=5e-2, interpret=False)
+
+
+def test_tp_chain_identity_normalize_interpret():
+    """DINO-TP pre-crop chain through the fused kernel: identity mean/std
+    (TP normalizes after cropping), no solarize, flip applied AFTER in XLA
+    (commutes with the pointwise ops and the symmetric edge-padded blur).
+    Jitter off — the interpreter misevaluates the hue branch (see module
+    docstring); the jitter stages are covered by the hardware test."""
+    B, S = 6, 40
+    x = jax.random.uniform(jax.random.PRNGKey(21), (B, S, S, 3))
+    k = jax.random.split(jax.random.PRNGKey(22), 4)
+    params = paug.draw_photometric_params(
+        k[3], k[0], k[1], k[2], None, B, (0.4, 0.4, 0.4, 0.1),
+        p_jit=0.0, p_gray=0.5, p_blur=0.5, p_sol=0.0,
+    )
+    y = paug.fused_photometric(
+        x.transpose(0, 3, 1, 2), params, interpret=True,
+        mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+    ).transpose(0, 2, 3, 1)
+    got = xaug.random_hflip(k[3], y)
+
+    ref = xaug.random_grayscale(k[1], x, p=0.5)
+    ref = xaug.gaussian_blur(k[2], ref, p=0.5)
+    ref = xaug.random_hflip(k[3], ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
