@@ -266,20 +266,15 @@ def train_dino(args) -> float:
         ):
             aug_rng, k = jax.random.split(aug_rng)
             if temporal:
-                # batch: (B, 4, H, W, 3) -> (4, B, H, W, 3)
-                views = jnp.moveaxis(batch, 1, 0)
-                g, locals_ = multicrop_augment_tp(k, views, mc_cfg)
+                # (B, 4, H, W, 3); the view transpose happens inside the jit
+                # (eager ops can't touch multi-host global arrays)
+                g, locals_ = multicrop_augment_tp(k, batch, mc_cfg, batch_first=True)
             else:
                 g, locals_ = multicrop_augment(k, batch, mc_cfg)
             if accum > 1:
-                # (G, B, ...) -> (A, G, b, ...); locals (B, ...) -> (A, b, ...)
-                G, B = g.shape[0], g.shape[1]
-                b = B // accum
-                g = g.reshape((G, accum, b) + g.shape[2:]).swapaxes(0, 1)
-                locals_ = tuple(
-                    x.reshape((accum, b) + x.shape[1:]) for x in locals_
+                state, metrics = dino_train_step_accum(
+                    state, g, locals_, sch, cfg, accum=accum
                 )
-                state, metrics = dino_train_step_accum(state, g, locals_, sch, cfg)
             else:
                 state, metrics = dino_train_step(state, g, locals_, sch, cfg)
             if it % args.print_freq == 0:

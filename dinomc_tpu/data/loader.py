@@ -49,6 +49,13 @@ class ShardedSampler:
         order = np.arange(self.n)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        # Pad to a multiple of num_shards by wrapping (torch
+        # DistributedSampler's total_size semantics): every shard must yield
+        # the SAME number of batches, else in multi-host SPMD the rank with
+        # an extra batch blocks forever in its step's collectives.
+        total = -(-self.n // self.num_shards) * self.num_shards
+        if total != self.n:
+            order = np.concatenate([order, order[: total - self.n]])
         shard = order[self.shard_id :: self.num_shards]
         end = len(shard) - (len(shard) % self.batch_size if self.drop_last else 0)
         for s in range(0, end, self.batch_size):
@@ -57,7 +64,7 @@ class ShardedSampler:
                 yield batch
 
     def __len__(self) -> int:
-        per_shard = (self.n + self.num_shards - 1) // self.num_shards
+        per_shard = -(-self.n // self.num_shards)
         if self.drop_last:
             return per_shard // self.batch_size
         return (per_shard + self.batch_size - 1) // self.batch_size

@@ -370,7 +370,7 @@ def multicrop_augment(
     return jnp.stack([g0, g1], axis=0), locals_
 
 
-def _tp_photo_aug(rng, images, cfg: MultiCropConfig):
+def _tp_photo_aug(rng, images):
     """MCTemporal's class-level augment (``dino_dataset.py:97-104``):
     jitter(0.4,0.4,0.4,0.1)@.8 + grayscale@.2 + blur@.5 + hflip@.5.
 
@@ -390,21 +390,29 @@ def _tp_photo_aug(rng, images, cfg: MultiCropConfig):
     return random_hflip(k[3], x)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "batch_first"))
 def multicrop_augment_tp(
-    rng: jax.Array, images: jnp.ndarray, cfg: MultiCropConfig = MultiCropConfig()
+    rng: jax.Array,
+    images: jnp.ndarray,
+    cfg: MultiCropConfig = MultiCropConfig(),
+    batch_first: bool = False,
 ):
     """DINO-TP temporal variant: images is (4, B, H, W, 3) =
-    [t0, t1, t2, t0] (data/seco.MCTemporal layout). Parity with the
+    [t0, t1, t2, t0] (data/seco.MCTemporal layout), or (B, 4, H, W, 3)
+    with ``batch_first=True`` — the loader's layout; transposing INSIDE
+    the jit matters multi-host, where eager ops cannot touch the loader's
+    non-fully-addressable global arrays. Parity with the
     reference composition (``dino_dataset.py:114-128`` +
     ``dino_augmentation.py:70-103``): global views are
     [aug(t1), t2, aug(t0)] — photometric augment on views 1 and 3 — each
     RandomResizedCrop(224); locals are N multi-size crops of the raw t0;
     the crop transforms themselves add no color aug."""
+    if batch_first:
+        images = jnp.moveaxis(images, 1, 0)
     keys = jax.random.split(rng, 5 + len(cfg.local_sizes))
     views = [images[1], images[2], images[3]]
-    views[0] = _tp_photo_aug(keys[3], views[0], cfg)
-    views[2] = _tp_photo_aug(keys[4], views[2], cfg)
+    views[0] = _tp_photo_aug(keys[3], views[0])
+    views[2] = _tp_photo_aug(keys[4], views[2])
     globals_ = []
     for i, v in enumerate(views):
         x = random_resized_crop(keys[i], v, cfg.global_size, cfg.global_scale)

@@ -249,24 +249,28 @@ def dino_train_step(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "accum"), donate_argnames=("state",))
 def dino_train_step_accum(
     state: DinoTrainState,
-    global_crops: jnp.ndarray,  # (A, G, b, S, S, 3) — A microbatches
-    local_crops: Tuple[jnp.ndarray, ...],  # each (A, b, s, s, 3)
+    global_crops: jnp.ndarray,  # (G, B, S, S, 3); B = accum * b
+    local_crops: Tuple[jnp.ndarray, ...],  # each (B, s, s, 3)
     schedules: DinoSchedules,
     cfg: DinoConfig,
+    accum: int = 1,
 ) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
-    """Gradient accumulation: one optimizer step from A microbatches.
+    """Gradient accumulation: one optimizer step from ``accum`` microbatches.
 
-    Not in the reference (which scales batch only via more GPUs); this is
-    the single-chip lever for reference-scale effective batches (e.g. the
-    paper's 8/GPU x N). Semantics match one large batch of size A*b:
-    gradients and the teacher-logit batch center are averaged over all
-    microbatches, the center EMA and the teacher EMA update ONCE, and the
-    pre-step center is used for every microbatch's loss. The microbatch
-    loop is a ``lax.scan`` (one compiled body; activations from microbatch
-    i are freed before i+1 — peak HBM is one microbatch's worth).
+    Takes the SAME full-batch crop layout as ``dino_train_step`` and splits
+    into microbatches inside the jit (eager reshapes would fail on
+    multi-host global arrays). Not in the reference (which scales batch
+    only via more GPUs); this is the single-chip lever for reference-scale
+    effective batches (e.g. the paper's 8/GPU x N). Semantics match one
+    large batch of size B: gradients and the teacher-logit batch center are
+    averaged over all microbatches, the center EMA and the teacher EMA
+    update ONCE, and the pre-step center is used for every microbatch's
+    loss. The microbatch loop is a ``lax.scan`` (one compiled body;
+    activations from microbatch i are freed before i+1 — peak HBM is one
+    microbatch's worth).
 
     BN backbones: running stats thread through the scan sequentially (the
     same stats drift a large batch would produce in expectation).
@@ -274,7 +278,17 @@ def dino_train_step_accum(
     enc_s = cfg.encoder(student=True)
     enc_t = cfg.encoder(student=False)
     head_cfg = cfg.head_config()
-    A = global_crops.shape[0]
+    A = accum
+    G, B = global_crops.shape[0], global_crops.shape[1]
+    b = B // A
+    assert b * A == B, f"accum={A} must divide batch {B}"
+    # (G, B, ...) -> (A, G, b, ...); locals (B, ...) -> (A, b, ...)
+    global_crops = global_crops.reshape(
+        (G, A, b) + global_crops.shape[2:]
+    ).swapaxes(0, 1)
+    local_crops = tuple(
+        x.reshape((A, b) + x.shape[1:]) for x in local_crops
+    )
 
     step = state.step
     epoch = step // cfg.niter_per_ep

@@ -50,6 +50,23 @@ def test_train_dino_cli_model_parallel(tmp_path):
     assert loss == loss
 
 
+def test_train_dino_cli_temporal(tmp_path):
+    """DINO-TP mode: (B, 4, H, W, 3) temporal batches, view transpose and
+    photometric pre-augmentation inside the jit (batch_first path)."""
+    from dinomc_tpu.cli import train_dino as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, out_dim=128,
+        batch_size_per_gpu=1, epochs=1, max_steps=1,
+        local_crops_number=2, size_crops=[96, 64],
+        warmup_epochs=0, output_dir=str(tmp_path),
+        image_size=128, print_freq=1, num_workers=0,
+        data_mode="tp",
+    ))
+    loss = mod.train_dino(args)
+    assert loss == loss
+
+
 def test_train_dino_cli_grad_accum(tmp_path):
     """Gradient accumulation: 2 microbatches per optimizer step."""
     from dinomc_tpu.cli import train_dino as mod

@@ -282,3 +282,22 @@ def test_epoch_csv_per_class_columns(tmp_path):
     rows = list(_csv.DictReader(open(p)))
     assert float(rows[0]["iou/a"]) == 0.1
     assert float(rows[0]["iou/b"]) == 0.9
+
+
+def test_sharded_sampler_pads_uneven_shards():
+    """Uneven dataset: every shard must yield the SAME number of batches
+    (torch DistributedSampler total_size semantics) — in multi-host SPMD a
+    rank with one extra batch would hang in its step's collectives."""
+    n, shards, bs = 127, 2, 8
+    samplers = [
+        dl.ShardedSampler(n, bs, shuffle=True, num_shards=shards, shard_id=i, seed=3)
+        for i in range(shards)
+    ]
+    batch_lists = [list(s) for s in samplers]
+    counts = [len(b) for b in batch_lists]
+    assert counts[0] == counts[1] == len(samplers[0])
+    seen = np.concatenate([np.concatenate(b) for b in batch_lists])
+    assert seen.min() >= 0 and seen.max() < n  # padding wraps real indices
+    # together the shards cover (almost) the whole epoch: only batch-tail
+    # drop_last and the <num_shards wrap padding may repeat/omit indices
+    assert len(np.unique(seen)) >= n - bs * shards

@@ -163,11 +163,8 @@ def test_grad_accum_matches_big_batch():
     st_big = init_dino_train_state(jax.random.PRNGKey(0), cfg)
     st_big, m_big = dino_train_step(st_big, g, locals_, sch, cfg)
 
-    A, b = 2, 4
-    g_m = g.reshape((2, A, b) + g.shape[2:]).swapaxes(0, 1)  # (A, 2, b, ...)
-    locals_m = tuple(x.reshape((A, b) + x.shape[1:]) for x in locals_)
     st_acc = init_dino_train_state(jax.random.PRNGKey(0), cfg)
-    st_acc, m_acc = dino_train_step_accum(st_acc, g_m, locals_m, sch, cfg)
+    st_acc, m_acc = dino_train_step_accum(st_acc, g, locals_, sch, cfg, accum=2)
 
     np.testing.assert_allclose(
         float(m_acc["loss"]), float(m_big["loss"]), rtol=1e-5, atol=1e-5

@@ -4,8 +4,10 @@ virtual CPU devices = an 8-device global mesh, per-process data loading.
 The reference "tests" its NCCL/DDP path only by running on SLURM
 (SURVEY.md §4); here the multi-host runtime (parallel/distributed.py, the
 loader's make_array_from_process_local_data path, global-mesh SPMD steps)
-is exercised in-repo: both ranks must agree on every loss, and the
-2-process run must match a single-process run over the same global batch.
+is exercised in-repo: both ranks must agree on every loss across TWO
+optimizer steps, and the 2-process run must match a single-process run
+over the same global batches. The model/config/step code is shared with
+the workers via tests/_multiproc_common.py so the comparison cannot drift.
 """
 
 import os
@@ -36,7 +38,7 @@ def _parse_losses(out: str, rank: int):
     raise AssertionError(f"no LOSSES line in rank-{rank} output:\n{out}")
 
 
-def test_two_process_dino_step_matches_single_process():
+def test_two_process_dino_steps_match_single_process():
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -57,67 +59,38 @@ def test_two_process_dino_step_matches_single_process():
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
     losses0 = _parse_losses(outs[0], 0)
     losses1 = _parse_losses(outs[1], 1)
+    assert len(losses0) == 2  # two optimizer steps, not one
     # SPMD: both processes execute the same global program
     np.testing.assert_allclose(losses0, losses1, rtol=0, atol=0)
-    assert all(np.isfinite(x) for x in losses0) and losses0
+    assert all(np.isfinite(x) for x in losses0)
 
-    # single-process reference over the SAME global batch (device order:
-    # process 0's rows [0,2,4,6,...] then process 1's [1,3,5,7,...])
+    # single-process reference over the SAME global batches (device order:
+    # process 0's rows [0,2,...] then process 1's [1,3,...]), via the same
+    # shared helpers the workers use
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    from functools import partial
 
-    from dinomc_tpu.core import schedules
-    from dinomc_tpu.core.mesh import batch_sharding, make_mesh, replicate, shard_batch
-    from dinomc_tpu.train.dino_trainer import (
-        DinoConfig,
-        DinoSchedules,
-        dino_train_step,
-        init_dino_train_state,
-    )
+    from tests import _multiproc_common as common
+    from dinomc_tpu.core.mesh import make_mesh, replicate, shard_batch
+    from dinomc_tpu.train.dino_trainer import init_dino_train_state
 
-    cfg = DinoConfig(
-        arch="vit_tiny", patch_size=8, out_dim=128, niter_per_ep=2,
-        global_crop_size=32, drop_path_rate=0.0,
-    )
+    cfg = common.make_cfg()
     mesh = make_mesh(jax.devices())
-    order = list(range(0, 16, 2)) + list(range(1, 16, 2))
-    raw_np = np.stack(
-        [
-            np.random.RandomState(1000 + i).rand(32, 32, 3).astype(np.float32)
-            for i in order
-        ]
-    )
-    raw = shard_batch(mesh, raw_np)
     state = replicate(mesh, init_dino_train_state(jax.random.PRNGKey(0), cfg))
-    epochs = 2
-    sch = replicate(
-        mesh,
-        DinoSchedules(
-            lr=jnp.asarray(
-                schedules.cosine_scheduler(1e-3, 1e-6, epochs, cfg.niter_per_ep)
-            ),
-            wd=jnp.asarray(
-                schedules.cosine_scheduler(0.04, 0.4, epochs, cfg.niter_per_ep)
-            ),
-            teacher_momentum=jnp.asarray(
-                schedules.cosine_scheduler(0.996, 1.0, epochs, cfg.niter_per_ep)
-            ),
-            teacher_temp=jnp.asarray(
-                schedules.teacher_temp_schedule(0.04, 0.07, 1, epochs)
-            ),
-        ),
-    )
+    sch = replicate(mesh, common.make_schedules(cfg))
+    step = common.make_step()
 
-    @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-    def step(state, raw, sch, cfg):
-        g = jnp.stack([raw, raw[:, ::-1, ::-1]], axis=0)
-        locals_ = (raw[:, 4:28, 4:28], raw[:, :16, :16])
-        return dino_train_step(state, g, locals_, sch, cfg)
+    ref_losses = []
+    n, bpr = common.N_SAMPLES, common.BATCH_PER_RANK
+    for bi in range(n // (2 * bpr)):
+        rows0 = list(range(0, n, 2))[bi * bpr : (bi + 1) * bpr]
+        rows1 = list(range(1, n, 2))[bi * bpr : (bi + 1) * bpr]
+        raw_np = np.stack(
+            [common.deterministic_image(i) for i in rows0 + rows1]
+        )
+        raw = shard_batch(mesh, raw_np)
+        state, metrics = step(state, raw, sch, cfg)
+        ref_losses.append(float(metrics["loss"]))
 
-    state, metrics = step(state, raw, sch, cfg)
-    np.testing.assert_allclose(
-        float(metrics["loss"]), losses0[0], rtol=5e-5, atol=5e-5
-    )
+    np.testing.assert_allclose(ref_losses, losses0, rtol=5e-5, atol=5e-5)
