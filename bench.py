@@ -33,10 +33,9 @@ def main():
         init_dino_train_state,
     )
 
-    # Per-chip batch: swept {12..64} on v5e — throughput plateaus ~98 img/s
-    # for B <= 24 under full-recompute remat and degrades above (HBM
-    # pressure; B=64 fails to fit at compile). 24 is the fastest realistic
-    # setting (reference default is 8/GPU).
+    # Per-chip batch: swept {12..64} on v5e — B=24 is fastest (103 img/s
+    # under the 'attn' remat policy; B=32 drops to 96 from HBM pressure and
+    # B=64 fails to fit at compile). Reference default is 8/GPU.
     B = 24
     epochs, niter = 1, 100
     cfg = DinoConfig(arch="vit_small", patch_size=8, out_dim=65536, niter_per_ep=niter)

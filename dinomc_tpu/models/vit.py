@@ -76,12 +76,20 @@ class ViTConfig:
     # Remat policy under `remat=True`: 'full' recomputes the whole block in
     # backward (minimum memory); 'dots' saves matmul outputs and recomputes
     # only elementwise ops; 'dots+attn' additionally saves the fused
-    # attention output. Measured on v5e at the DINO-MC bench shapes the
-    # policies are FLOP-equal in practice (backward ≈ 3x forward for all
-    # three) but 'dots'/'dots+attn' also WRITE the saved tensors to HBM —
-    # 'full' is ~5-12% faster end-to-end (87.6 vs 91.8 img/s at B=32,
-    # 98.2 at B=24). Keep 'full' unless profiling says otherwise.
-    remat_policy: str = "full"
+    # attention output; 'attn' saves ONLY the attention output; 'qkv+attn'
+    # saves qkv + attention output (backward skips the qkv matmul and the
+    # attention forward, recomputing just layernorms + MLP).
+    # Measured on v5e, DINO-MC bench shapes (img/s/chip):
+    #   full:     98.2 @B24, 87.6 @B32   (min memory)
+    #   dots:     ~92 @B32 — saved-tensor HBM writes eat the saved FLOPs
+    #   attn:     101.2 @B16, 103.0 @B24, 96.4 @B32   <- default
+    #   qkv+attn: 103.4 @B16, 101.2 @B24, 95.8 @B32
+    # 'attn' wins: the fused-attention forward is the most expensive single
+    # recompute, and its output is only D/token/layer of HBM (~60 MB/layer
+    # at B=24) — the matmul-heavy recomputes (qkv/MLP) are nearly free in
+    # wall time because they pipeline onto the idle MXU during the
+    # VPU-bound parts of the backward.
+    remat_policy: str = "attn"
 
     @property
     def grid(self) -> int:
@@ -238,6 +246,10 @@ def _attention(
     hd = D // h
     qkv = jnp.einsum("bnd,de->bne", x, p_attn["qkv"]["kernel"].astype(x.dtype))
     qkv = qkv + p_attn["qkv"]["bias"].astype(x.dtype)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # named so remat_policy='qkv+attn' can save it (identity otherwise)
+    qkv = checkpoint_name(qkv, "qkv")
     qkv = qkv.reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
     scale = 1.0 / math.sqrt(hd)
@@ -355,6 +367,26 @@ def _scan_blocks(
                 policy=jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                     jax.checkpoint_policies.save_only_these_names("attn_out"),
+                ),
+            )
+        elif cfg.remat_policy == "attn":
+            # save ONLY the attention kernel output: backward still redoes
+            # the qkv/mlp matmuls but skips the fused-attention forward
+            # (the most expensive single recompute); tiny HBM cost (D/token)
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
+        elif cfg.remat_policy == "qkv+attn":
+            # save qkv + attention output: backward skips the qkv matmul AND
+            # the fused-attention forward (its VJP residuals q,k,v reshape
+            # straight out of the saved qkv); recomputes only layernorms and
+            # the MLP. 4D/token/layer of HBM — the middle ground between
+            # 'full' (min memory) and 'dots' (saves every matmul)
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "qkv", "attn_out"
                 ),
             )
         else:

@@ -1,7 +1,7 @@
 """Compare remat policies / batch sizes on the full DINO step (real chip).
 
-Usage: python scripts/remat_bench.py [policy ...]
-Policies default to: dots dots+attn. Sweeps B in {32, 64}.
+Usage: python scripts/remat_bench.py [-B 16,24,32] [policy ...]
+Policies default to: dots dots+attn. B defaults to {32, 64}.
 """
 
 import dataclasses
@@ -73,9 +73,14 @@ def run(policy: str, B: int) -> float:
 
 
 if __name__ == "__main__":
-    policies = sys.argv[1:] or ["dots", "dots+attn"]
+    argv = sys.argv[1:]
+    bs = (32, 64)
+    if argv and argv[0] == "-B":
+        bs = tuple(int(x) for x in argv[1].split(","))
+        argv = argv[2:]
+    policies = argv or ["dots", "dots+attn"]
     for policy in policies:
-        for B in (32, 64):
+        for B in bs:
             try:
                 ips = run(policy, B)
                 print(f"policy={policy:10s} B={B:3d}  {ips:7.1f} img/s", flush=True)
