@@ -54,13 +54,18 @@ class UPerNetConfig:
     dropout_rate: float = 0.1
     use_fpn_neck: bool = False
     aux_loss_weight: float = 0.4  # mmseg default for auxiliary FCNHead
+    # Decoder compute dtype. The FLOP-heavy 512-channel PSP/FPN/fusion convs
+    # run in this dtype (params stay f32; BN statistics and the final logits
+    # are always f32). bf16 is MXU-native; set f32 for strict torch parity.
+    compute_dtype: Any = jnp.bfloat16
 
     @property
     def embed_dim(self) -> int:
         return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
 
     def vit_config(self, img_size: int = 224) -> ViTConfig:
-        return VIT_FACTORIES[self.arch](patch_size=self.patch_size, img_size=img_size)
+        cfg = VIT_FACTORIES[self.arch](patch_size=self.patch_size, img_size=img_size)
+        return dataclasses.replace(cfg, compute_dtype=self.compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +174,13 @@ def dino_pyramid(
             backbone_params, x, vcfg, out_indices=cfg.out_indices, apply_norm=False
         )  # (L, B, N+1, D)
     Hf, Wf = H // cfg.patch_size, W // cfg.patch_size
-    feats = [t[:, 1:, :].reshape(B, Hf, Wf, cfg.embed_dim) for t in taps]
+    # Taps come back f32; drop to the decoder compute dtype HERE so the
+    # pyramid resizes and every decoder conv run MXU-native (bf16 halves
+    # both the matmul cost and the HBM traffic of the 512-ch decoder).
+    feats = [
+        t[:, 1:, :].astype(cfg.compute_dtype).reshape(B, Hf, Wf, cfg.embed_dim)
+        for t in taps
+    ]
     sizes = [(2 * Hf, 2 * Wf), (Hf, Wf), (Hf // 2, Wf // 2), (Hf // 4, Wf // 4)]
     pyramid = []
     for f, hw in zip(feats, sizes):
@@ -205,12 +216,21 @@ def upernet_forward(
     rng: Optional[jax.Array] = None,
     with_aux: bool = False,
     mesh=None,
+    stop_backbone_grad: bool = False,
 ):
     """'whole'-mode forward. Returns (logits (B, H, W, num_classes),
     new_bn_state[, aux_logits]). ``mesh`` with a ``seq`` axis > 1 runs the
-    ViT backbone sequence-parallel (see ``dino_pyramid``)."""
+    ViT backbone sequence-parallel (see ``dino_pyramid``).
+
+    ``stop_backbone_grad``: cut the gradient at the pyramid features so the
+    backward skips the entire ViT (decoder-only fine-tune — the reference's
+    ``train_backbone=False`` run mode, ``train_dino_mc_seg.py:271``; the
+    reference gets the same skip from ``requires_grad=False``). Measured on
+    v5e at 224px/B=32 this takes the train step 162 -> ~100 ms."""
     B, H, W, _ = x.shape
     pyramid = dino_pyramid(params["backbone"], x, cfg, mesh=mesh)
+    if stop_backbone_grad:
+        pyramid = jax.tree_util.tree_map(jax.lax.stop_gradient, pyramid)
     new_state: Params = {}
 
     if cfg.use_fpn_neck:

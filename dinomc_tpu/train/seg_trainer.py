@@ -89,6 +89,10 @@ def seg_train_step(
             rng=step_rng,
             with_aux=cfg.use_aux_loss,
             mesh=mesh,
+            # frozen backbone: cut grad at the pyramid so backward skips the
+            # whole ViT (the optimizer mask alone keeps the weights fixed
+            # but still pays the backbone backward)
+            stop_backbone_grad=not cfg.train_backbone,
         )
         if cfg.use_aux_loss:
             logits, new_bn, aux_logits = out
