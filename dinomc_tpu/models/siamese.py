@@ -69,6 +69,11 @@ def siamese_forward(
     enc_train = train and not cfg.freeze_encoder
     f1, _, s1 = rn.resnet_features(params["encoder"], state["encoder"], x1, cfg.rn_cfg(), enc_train)
     f2, _, s2 = rn.resnet_features(params["encoder"], s1, x2, cfg.rn_cfg(), enc_train)
+    if cfg.freeze_encoder:
+        # cut the grad at the features: backward skips BOTH encoder passes
+        # (the reference gets the same skip from requires_grad=False on
+        # encoder params, main_oscd.py:100-104)
+        f1, f2 = jax.lax.stop_gradient((f1, f2))
     diffs = [jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)) for a, b in zip(f1, f2)]
 
     # FPN top-down over |diff| levels; y ends at the finest level (stride 2)

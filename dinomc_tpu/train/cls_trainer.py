@@ -85,6 +85,11 @@ def init_cls_train_state(
 
 def _logits(params, bn_state, x, cfg: ClsConfig, train, rng):
     feats, new_bn = cfg.encoder().apply(params["backbone"], bn_state, x, train, rng)
+    if cfg.freeze_backbone:
+        # linear-probe mode: cut the grad at the features so backward skips
+        # the whole backbone (the optimizer's frozen mask alone would keep
+        # the weights fixed but still pay the backbone backward)
+        feats = jax.lax.stop_gradient(feats)
     return feats @ params["fc"]["kernel"] + params["fc"]["bias"], new_bn
 
 
