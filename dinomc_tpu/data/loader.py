@@ -55,7 +55,10 @@ class ShardedSampler:
         # an extra batch blocks forever in its step's collectives.
         total = -(-self.n // self.num_shards) * self.num_shards
         if total != self.n:
-            order = np.concatenate([order, order[: total - self.n]])
+            # np.resize tiles `order` as many times as needed — handles the
+            # pad exceeding n (n < num_shards), where a single slice can't
+            pad = np.resize(order, total - self.n)
+            order = np.concatenate([order, pad])
         shard = order[self.shard_id :: self.num_shards]
         end = len(shard) - (len(shard) % self.batch_size if self.drop_last else 0)
         for s in range(0, end, self.batch_size):

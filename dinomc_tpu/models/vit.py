@@ -260,8 +260,6 @@ def _attention(
     else:
         attn = None
         out = mha(q, k, v, scale, impl=impl, axis_name=axis_name, n_valid=n_valid)
-        from jax.ad_checkpoint import checkpoint_name
-
         out = checkpoint_name(out, "attn_out")
     out = out.reshape(B, N, D)
     out = jnp.einsum("bnd,de->bne", out, p_attn["proj"]["kernel"].astype(x.dtype))

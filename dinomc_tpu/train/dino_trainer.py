@@ -282,12 +282,18 @@ def dino_train_step_accum(
     G, B = global_crops.shape[0], global_crops.shape[1]
     b = B // A
     assert b * A == B, f"accum={A} must divide batch {B}"
-    # (G, B, ...) -> (A, G, b, ...); locals (B, ...) -> (A, b, ...)
-    global_crops = global_crops.reshape(
-        (G, A, b) + global_crops.shape[2:]
-    ).swapaxes(0, 1)
+    # STRIDED split — microbatch a takes rows a::A. With the batch axis
+    # sharded over the data mesh axis, a contiguous split would put each
+    # microbatch's rows on only 1/A of the devices (forcing an all-to-all
+    # or idling chips every scan iteration); the strided split keeps every
+    # microbatch evenly sharded. Semantically identical: gradients and the
+    # teacher-logit center are batch means, invariant to which microbatch
+    # an image lands in. (G, B, ...) -> (A, G, b, ...); locals -> (A, b, ...)
+    global_crops = jnp.moveaxis(
+        global_crops.reshape((G, b, A) + global_crops.shape[2:]), 2, 0
+    )
     local_crops = tuple(
-        x.reshape((A, b) + x.shape[1:]) for x in local_crops
+        jnp.moveaxis(x.reshape((b, A) + x.shape[1:]), 1, 0) for x in local_crops
     )
 
     step = state.step

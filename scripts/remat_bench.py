@@ -76,7 +76,10 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     bs = (32, 64)
     if argv and argv[0] == "-B":
-        bs = tuple(int(x) for x in argv[1].split(","))
+        try:
+            bs = tuple(int(x) for x in argv[1].split(","))
+        except (IndexError, ValueError):
+            sys.exit("usage: remat_bench.py [-B 16,24,32] [policy ...]")
         argv = argv[2:]
     policies = argv or ["dots", "dots+attn"]
     for policy in policies:

@@ -301,3 +301,16 @@ def test_sharded_sampler_pads_uneven_shards():
     # together the shards cover (almost) the whole epoch: only batch-tail
     # drop_last and the <num_shards wrap padding may repeat/omit indices
     assert len(np.unique(seen)) >= n - bs * shards
+
+
+def test_sharded_sampler_more_shards_than_samples():
+    """n < num_shards: the pad exceeds the dataset — wrap must tile, and
+    every shard still yields the same (non-zero) number of batches."""
+    n, shards, bs = 3, 8, 1
+    samplers = [
+        dl.ShardedSampler(n, bs, shuffle=False, num_shards=shards, shard_id=i)
+        for i in range(shards)
+    ]
+    counts = [len(list(s)) for s in samplers]
+    assert counts == [1] * shards
+    assert all(len(s) == 1 for s in samplers)
