@@ -60,6 +60,14 @@ class ViTConfig:
     # 'ring' = sequence-parallel ring attention (only valid inside the
     # shard_map of vit_forward_sp, which sets it itself).
     attn_impl: str = "auto"
+    # 'dense' = two einsums with the (B*N, 4D) hidden in HBM; 'fused' = the
+    # Pallas one-VMEM-pass fc1+GELU+fc2 kernel (ops/pallas/fused_mlp.py).
+    # MEASURED SLOWER on v5e at ViT-S shapes (teacher fwd 30.7 -> 34.4 ms,
+    # bench 103.2 -> 98.0 img/s): per-row-block the two small dots + VPU
+    # GELU serialize and idle the MXU, while XLA's unfused form runs
+    # full-size matmuls and overlaps the hidden's HBM traffic behind them.
+    # Kept as an explored variant; default stays unfused.
+    mlp_impl: str = "dense"
     # Real (unpadded) global token count when running sequence-parallel —
     # set by vit_forward_sp so ring attention masks padded tail keys.
     attn_n_valid: Optional[int] = None
@@ -269,7 +277,22 @@ def _attention(
     return out, None
 
 
-def _mlp(x, p_mlp, gelu_approx=True):
+def _mlp(x, p_mlp, gelu_approx=True, impl="dense"):
+    if impl == "fused":
+        # One VMEM pass for fc1+GELU+fc2 — skips the (B*N, 4D) hidden
+        # activation's HBM round trip (ops/pallas/fused_mlp.py).
+        from dinomc_tpu.ops.pallas.fused_mlp import fused_mlp
+
+        B, N, D = x.shape
+        y = fused_mlp(
+            x.reshape(B * N, D),
+            p_mlp["fc1"]["kernel"].astype(x.dtype),
+            p_mlp["fc1"]["bias"].astype(x.dtype),
+            p_mlp["fc2"]["kernel"].astype(x.dtype),
+            p_mlp["fc2"]["bias"].astype(x.dtype),
+            approx=gelu_approx,
+        )
+        return y.reshape(B, N, D)
     y = jnp.einsum("bnd,df->bnf", x, p_mlp["fc1"]["kernel"].astype(x.dtype))
     y = y + p_mlp["fc1"]["bias"].astype(x.dtype)
     y = jax.nn.gelu(y, approximate=gelu_approx)
@@ -300,7 +323,7 @@ def _block(x, bp, cfg: ViTConfig, dp_keep, dp_masks, deterministic):
         y = _drop_path(y, dp_keep, dp_masks[0])
     x = x + y
     y = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"], eps)
-    y = _mlp(y, bp["mlp"], cfg.gelu_approx)
+    y = _mlp(y, bp["mlp"], cfg.gelu_approx, cfg.mlp_impl)
     if not deterministic:
         y = _drop_path(y, dp_keep, dp_masks[1])
     x = x + y
