@@ -132,6 +132,170 @@ def dino_head_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def _conv_bn_from_torch(sd, conv_key: str, bn_key: str):
+    """(params, state) for one conv+BN pair: torch OIHW -> HWIO kernel, BN
+    weight/bias -> scale/bias, running stats -> state."""
+    p = {
+        "conv": {"kernel": sd[f"{conv_key}.weight"].transpose(2, 3, 1, 0).astype(np.float32)},
+        "bn": {
+            "scale": sd[f"{bn_key}.weight"].astype(np.float32),
+            "bias": sd[f"{bn_key}.bias"].astype(np.float32),
+        },
+    }
+    s = {
+        "bn": {
+            "mean": sd[f"{bn_key}.running_mean"].astype(np.float32),
+            "var": sd[f"{bn_key}.running_var"].astype(np.float32),
+        }
+    }
+    return p, s
+
+
+def resnet_params_from_torch(
+    sd: Dict[str, np.ndarray], stage_sizes=(3, 4, 6, 3)
+) -> tuple:
+    """Map a torchvision-format ResNet-50 / WRN-50-2 state dict (as saved by
+    the reference's convnet DINO runs, ``main_dino_mc.py:223-229``) to our
+    functional tree. Returns ``(params, state)`` — state carries the BN
+    running stats. ``fc`` is included when present (MultiCropWrapper nulls
+    it, ``utils/utils.py:623``)."""
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    params["stem"], state["stem"] = _conv_bn_from_torch(sd, "conv1", "bn1")
+    for stage, blocks in enumerate(stage_sizes):
+        sp, ss = [], []
+        for b in range(blocks):
+            pre = f"layer{stage + 1}.{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"], bs[f"conv{i}"] = _conv_bn_from_torch(
+                    sd, f"{pre}.conv{i}", f"{pre}.bn{i}"
+                )
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["down"], bs["down"] = _conv_bn_from_torch(
+                    sd, f"{pre}.downsample.0", f"{pre}.downsample.1"
+                )
+            sp.append(bp)
+            ss.append(bs)
+        params[f"layer{stage + 1}"] = sp
+        state[f"layer{stage + 1}"] = ss
+    if "fc.weight" in sd:
+        params["fc"] = {
+            "kernel": sd["fc.weight"].T.astype(np.float32),
+            "bias": sd["fc.bias"].astype(np.float32),
+        }
+    return params, state
+
+
+def _ln_from_torch(sd, key):
+    return {
+        "scale": sd[f"{key}.weight"].astype(np.float32),
+        "bias": sd[f"{key}.bias"].astype(np.float32),
+    }
+
+
+def _lin_from_torch(sd, key):
+    return {
+        "kernel": sd[f"{key}.weight"].T.astype(np.float32),
+        "bias": sd[f"{key}.bias"].astype(np.float32),
+    }
+
+
+def swin_params_from_torch(
+    sd: Dict[str, np.ndarray], depths=(2, 2, 6, 2)
+) -> Dict[str, Any]:
+    """Map a torchvision-format ``swin_t`` state dict (the reference's Swin
+    DINO encoder, ``main_dino_mc.py:226-229``) to our functional tree
+    (models/swin.py). torchvision layout: ``features.0`` = patch conv+LN,
+    ``features.{2s+1}`` = stage-s blocks, ``features.{2s+2}`` = patch merge;
+    block MLP linears at ``mlp.0`` / ``mlp.3``. The relative-position index
+    tables are recomputed on our side (identical formula), so only the bias
+    table imports."""
+    w = sd["features.0.0.weight"]  # (D, 3, p, p)
+    D = w.shape[0]
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": w.transpose(2, 3, 1, 0).reshape(-1, D).astype(np.float32),
+            "bias": sd["features.0.0.bias"].astype(np.float32),
+            "norm": _ln_from_torch(sd, "features.0.2"),
+        },
+        "stages": [],
+    }
+    for s, depth in enumerate(depths):
+        blocks = []
+        for b in range(depth):
+            pre = f"features.{2 * s + 1}.{b}"
+            blocks.append(
+                {
+                    "norm1": _ln_from_torch(sd, f"{pre}.norm1"),
+                    "qkv": _lin_from_torch(sd, f"{pre}.attn.qkv"),
+                    "proj": _lin_from_torch(sd, f"{pre}.attn.proj"),
+                    "rel_bias": sd[
+                        f"{pre}.attn.relative_position_bias_table"
+                    ].astype(np.float32),
+                    "norm2": _ln_from_torch(sd, f"{pre}.norm2"),
+                    "fc1": _lin_from_torch(sd, f"{pre}.mlp.0"),
+                    "fc2": _lin_from_torch(sd, f"{pre}.mlp.3"),
+                }
+            )
+        stage: Dict[str, Any] = {"blocks": blocks}
+        if s < len(depths) - 1:
+            mpre = f"features.{2 * s + 2}"
+            stage["merge"] = {
+                "norm": _ln_from_torch(sd, f"{mpre}.norm"),
+                "reduce": {
+                    "kernel": sd[f"{mpre}.reduction.weight"].T.astype(np.float32)
+                },
+            }
+        params["stages"].append(stage)
+    params["norm"] = _ln_from_torch(sd, "norm")
+    return params
+
+
+def load_convnet_backbone(
+    path: str, checkpoint_key: Optional[str] = "teacher"
+) -> tuple:
+    """One-call import: .pth -> (ResNet/WRN param tree, BN-state tree)."""
+    sd = load_torch_state_dict(path, checkpoint_key)
+    return resnet_params_from_torch(sd)
+
+
+def load_backbone_for_arch(
+    path: str, arch: str, checkpoint_key: Optional[str] = "teacher"
+) -> tuple:
+    """Arch-dispatching import (the reference's ``load_pretrained_weights``
+    is arch-agnostic via ``load_state_dict(strict=False)``; our functional
+    trees need explicit mappings). Returns ``(params, bn_state_or_None)``."""
+    if arch.startswith("vit") or arch.startswith("deit"):
+        return load_dino_backbone(path, checkpoint_key), None
+    if arch in ("resnet50", "wide_resnet50_2"):
+        return load_convnet_backbone(path, checkpoint_key)
+    if arch in ("swin_t", "swin_tiny"):
+        sd = load_torch_state_dict(path, checkpoint_key)
+        return swin_params_from_torch(sd), None
+    raise ValueError(
+        f"no torch importer for arch '{arch}' (supported: vit*/deit*, "
+        "resnet50, wide_resnet50_2, swin_t); train from our own orbax "
+        "checkpoints instead"
+    )
+
+
+def load_linear_probe_weights(path: str):
+    """Import a torch linear-classifier checkpoint as ``(w, b)`` numpy arrays
+    in this framework's probe convention (``logits = feats @ w + b``).
+
+    Parity target: ``load_pretrained_linear_weights``
+    (``utils/utils.py:125-142``) — reads ``ckpt['state_dict']``, strips
+    ``module.`` prefixes, and loads the single ``nn.Linear``. torch stores
+    the weight as (out, in); transposed here for ``eval/linear_probe``.
+    """
+    sd = load_torch_state_dict(path, checkpoint_key="state_dict")
+    wk = next(k for k in sd if k.endswith("weight"))
+    bk = next(k for k in sd if k.endswith("bias"))
+    return sd[wk].T.astype(np.float32), sd[bk].astype(np.float32)
+
+
 def load_dino_backbone(
     path: str,
     checkpoint_key: Optional[str] = "teacher",

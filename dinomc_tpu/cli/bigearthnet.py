@@ -56,7 +56,9 @@ def run(args) -> float:
     import jax
     import jax.numpy as jnp
 
-    from dinomc_tpu.cli.common import ensure_dir, resolve_platform, set_seed
+    from dinomc_tpu.cli.common import (
+        ensure_dir, load_pretrained_backbone, resolve_platform, set_seed,
+    )
     from dinomc_tpu.core.schedules import cosine_scheduler, linear_scaled_lr
     from dinomc_tpu.data.classification import BigEarthNetFolder, LMDBDataset
     from dinomc_tpu.data.loader import random_subset
@@ -99,13 +101,14 @@ def run(args) -> float:
     cfg = ClsConfig(
         arch=args.arch, patch_size=args.patch_size, num_classes=19, multilabel=True
     )
-    pretrained = None
+    pretrained, pretrained_bn = None, None
     if args.pretrained_weights:
-        from dinomc_tpu.ckpt.torch_import import load_dino_backbone
-
-        key = None if args.checkpoint_key.lower() == "none" else args.checkpoint_key
-        pretrained = load_dino_backbone(args.pretrained_weights, checkpoint_key=key)
-    state = init_cls_train_state(jax.random.PRNGKey(args.seed), cfg, pretrained)
+        pretrained, pretrained_bn = load_pretrained_backbone(
+            args.pretrained_weights, args.arch, args.checkpoint_key
+        )
+    state = init_cls_train_state(
+        jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
+    )
 
     def evaluate() -> float:
         scores, labels = [], []
@@ -122,10 +125,21 @@ def run(args) -> float:
         linear_scaled_lr(args.lr, args.batch_size_per_gpu * len(jax.devices())),
         1e-6, args.epochs, niter,
     )
+    from dinomc_tpu.ckpt.orbax_io import CheckpointManager
+
+    ckpt = CheckpointManager(f"{args.output_dir}/checkpoints", max_to_keep=1,
+                             best_mode="max", metric_name="map")
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
     rng = jax.random.PRNGKey(args.seed)
-    it, best = 0, 0.0
-    for epoch in range(args.epochs):
+    it, best, start_epoch = 0, 0.0, 0
+    # restart_from_checkpoint parity (main_bigearthnet.py:134-151)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        it = int(state.step)
+        start_epoch = min(int(ckpt.latest_step()) + 1, args.epochs)
+        print(f"resumed from checkpoint at epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, args.epochs):
         ml = MetricLogger()
         for images, y in ml.log_every(
             batches(train_ds, idx, True, epoch), args.print_freq,
@@ -144,11 +158,15 @@ def run(args) -> float:
             if args.max_steps and it >= args.max_steps:
                 break
         mAP = evaluate()
-        best = max(best, mAP)
         print(f"epoch {epoch}: micro mAP {mAP:.2f}")
         logger.write({"epoch": epoch, "micro_map": mAP})
+        if mAP >= best:
+            best = mAP
+            ckpt.save(epoch, jax.device_get(state), metric=mAP)
         if args.max_steps and it >= args.max_steps:
             break
+    ckpt.wait()
+    ckpt.close()
     print(f"best micro mAP: {best:.2f}")
     return best
 

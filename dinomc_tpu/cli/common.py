@@ -49,3 +49,29 @@ def resolve_platform() -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+
+
+def load_pretrained_backbone(path: str, arch: str, checkpoint_key: str = "teacher"):
+    """Resolve ``--pretrained_weights`` from either source a reference user
+    has: a torch ``.pth`` (reference checkpoints; ``load_pretrained_weights``
+    parity, ``utils/utils.py:75-119``) or an orbax checkpoint directory
+    saved by this framework's trainers. Returns ``(params, bn_state|None)``.
+
+    ``checkpoint_key``: 'teacher' (default) / 'student' / 'none'.
+    """
+    key = None if checkpoint_key.lower() == "none" else checkpoint_key
+    if os.path.isdir(path):
+        from dinomc_tpu.ckpt.orbax_io import restore_pytree
+
+        tree = restore_pytree(path)
+        src = tree
+        bn = None
+        if isinstance(tree, dict) and key and key in tree:
+            src = tree[key]
+            bn = tree.get(f"{key}_state")
+        if isinstance(src, dict) and "backbone" in src:
+            src = src["backbone"]
+        return src, bn
+    from dinomc_tpu.ckpt.torch_import import load_backbone_for_arch
+
+    return load_backbone_for_arch(path, arch, checkpoint_key=key)

@@ -71,7 +71,9 @@ def run(args) -> float:
     import jax
     import jax.numpy as jnp
 
-    from dinomc_tpu.cli.common import ensure_dir, resolve_platform, set_seed
+    from dinomc_tpu.cli.common import (
+        ensure_dir, load_pretrained_backbone, resolve_platform, set_seed,
+    )
     from dinomc_tpu.ckpt.orbax_io import CheckpointManager
     from dinomc_tpu.core.schedules import cosine_scheduler, linear_scaled_lr
     from dinomc_tpu.data.classification import ImageFolderDataset, center_crop
@@ -103,13 +105,14 @@ def run(args) -> float:
     cfg = ClsConfig(
         arch=args.arch, patch_size=args.patch_size, num_classes=args.num_labels
     )
-    pretrained = None
+    pretrained, pretrained_bn = None, None
     if args.pretrained_weights:
-        from dinomc_tpu.ckpt.torch_import import load_dino_backbone
-
-        key = None if args.checkpoint_key.lower() == "none" else args.checkpoint_key
-        pretrained = load_dino_backbone(args.pretrained_weights, checkpoint_key=key)
-    state = init_cls_train_state(jax.random.PRNGKey(args.seed), cfg, pretrained)
+        pretrained, pretrained_bn = load_pretrained_backbone(
+            args.pretrained_weights, args.arch, args.checkpoint_key
+        )
+    state = init_cls_train_state(
+        jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
+    )
 
     def val_images(images):
         x = jnp.asarray(images)
@@ -160,6 +163,16 @@ def run(args) -> float:
         return float(np.mean(top1s))
 
     if args.evaluate:
+        # reference --evaluate loads a FINE-TUNED full model (ckpt
+        # 'state_dict' incl. the classifier head, main_eurosat.py:71-80):
+        # restore this run's best fine-tune checkpoint before scoring
+        mgr = CheckpointManager(f"{args.output_dir}/checkpoints",
+                                max_to_keep=1, best_mode="max",
+                                metric_name="acc")
+        restored = mgr.restore(state)
+        mgr.close()
+        if restored is not None:
+            state = restored
         return evaluate()
 
     global_batch = args.batch_size_per_gpu * len(jax.devices())
@@ -171,8 +184,16 @@ def run(args) -> float:
                              best_mode="max", metric_name="acc")
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
     rng = jax.random.PRNGKey(args.seed)
-    it, best = 0, 0.0
-    for epoch in range(args.epochs):
+    it, best, start_epoch = 0, 0.0, 0
+    # restart_from_checkpoint parity (main_eurosat.py:109-114): resume from
+    # this run's newest checkpoint (preemption requeue ≡ rerun same command)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        it = int(state.step)
+        start_epoch = min(int(ckpt.latest_step()) + 1, args.epochs)
+        print(f"resumed from checkpoint at epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, args.epochs):
         ml = MetricLogger()
         for images, labels in ml.log_every(
             _batches(train_ds, args.batch_size_per_gpu, True, epoch),

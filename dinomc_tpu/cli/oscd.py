@@ -94,16 +94,25 @@ def run(args) -> float:
         model=SiameseConfig(arch=args.backbone, freeze_encoder=args.freeze_encoder),
         loss=args.loss,
     )
-    pretrained = None
+    pretrained, pretrained_bn = None, None
     if args.pretrained_weights:
-        # convnet DINO checkpoints: torch resnet state dicts need their own
-        # mapper; orbax trees load directly.
-        from dinomc_tpu.ckpt.orbax_io import restore_pytree
+        if args.pretrained_weights.endswith((".pth", ".pt", ".ckpt")):
+            # reference convnet DINO checkpoints (main_oscd.py loads RN50/WRN
+            # teachers): torchvision-format state dicts incl. BN stats
+            from dinomc_tpu.ckpt.torch_import import load_convnet_backbone
 
-        tree = restore_pytree(args.pretrained_weights)
-        src = tree.get("teacher", tree) if isinstance(tree, dict) else tree
-        pretrained = src["backbone"] if "backbone" in src else src
-    state = init_oscd_train_state(jax.random.PRNGKey(args.seed), cfg, pretrained)
+            pretrained, pretrained_bn = load_convnet_backbone(
+                args.pretrained_weights
+            )
+        else:  # our own orbax trees load directly
+            from dinomc_tpu.ckpt.orbax_io import restore_pytree
+
+            tree = restore_pytree(args.pretrained_weights)
+            src = tree.get("teacher", tree) if isinstance(tree, dict) else tree
+            pretrained = src["backbone"] if "backbone" in src else src
+    state = init_oscd_train_state(
+        jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
+    )
 
     ckpt = CheckpointManager(f"{args.output_dir}/checkpoints", max_to_keep=1,
                              best_mode="max", metric_name="f1")
@@ -125,8 +134,16 @@ def run(args) -> float:
         f1 = 2 * prec * rec / max(prec + rec, 1e-12)
         return prec * 100, rec * 100, f1 * 100
 
-    it, best_f1 = 0, 0.0
-    for epoch in range(args.epochs):
+    it, best_f1, start_epoch = 0, 0.0, 0
+    # resume from this run's newest checkpoint (the reference's Lightning
+    # ModelCheckpoint keeps best weights only, main_oscd.py:173-180)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        it = int(state.step)
+        start_epoch = min(int(ckpt.latest_step()) + 1, args.epochs)
+        print(f"resumed from checkpoint at epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, args.epochs):
         lr = exponential_lr(args.lr, epoch)
         ml = MetricLogger()
         for x1, x2, m in ml.log_every(

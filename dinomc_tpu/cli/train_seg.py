@@ -163,9 +163,17 @@ def train_seg(args) -> float:
     )
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
     aug_rng = jax.random.PRNGKey(args.seed)
-    best_miou, it = 0.0, 0
+    best_miou, it, start_epoch = 0.0, 0, 0
+    # resume from this run's newest checkpoint (the reference seg trainers
+    # cannot resume at all — best-only torch.save, train_dino_mc_seg.py:187-197)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        it = int(state.step)
+        start_epoch = min(int(ckpt.latest_step()) + 1, args.epochs)
+        print(f"resumed from checkpoint at epoch {start_epoch - 1}")
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         ml = MetricLogger()
         batches = train_ds.batches(args.batch_size, shuffle=True, seed=epoch)
         for images, masks in ml.log_every(

@@ -38,15 +38,24 @@ def conv_init(
 
 
 def conv_apply(
-    p: Params, x: jnp.ndarray, stride: int = 1, dilation: int = 1
+    p: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: Any = "SAME",
 ) -> jnp.ndarray:
-    """SAME-padded 2-D conv, NHWC x HWIO -> NHWC."""
+    """2-D conv, NHWC x HWIO -> NHWC. ``padding`` is "SAME"/"VALID" or an
+    int for torch-style symmetric padding — identical to SAME at stride 1
+    with odd kernels, but NOT at stride 2 (SAME pads (lo, lo+1) where torch
+    pads (p, p)); torch-weight-importing backbones must pass the int."""
     dt = x.dtype
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(dt),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

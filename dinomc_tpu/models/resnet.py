@@ -96,8 +96,10 @@ def init_resnet(key: jax.Array, cfg: ResNetConfig) -> Tuple[Params, Params]:
     return params, state
 
 
-def _conv_bn(p, s, x, train, stride=1, relu=True):
-    y = layers.conv_apply(p["conv"], x, stride=stride)
+def _conv_bn(p, s, x, train, stride=1, relu=True, padding="SAME"):
+    # torch-style int padding where it differs from SAME (stride-2 convs) so
+    # torchvision-format weights (resnet_params_from_torch) align exactly
+    y = layers.conv_apply(p["conv"], x, stride=stride, padding=padding)
     y, bn_s = layers.bn_apply(p["bn"], s["bn"], y, train)
     if relu:
         y = jax.nn.relu(y)
@@ -107,7 +109,9 @@ def _conv_bn(p, s, x, train, stride=1, relu=True):
 def _bottleneck(p, s, x, train, stride):
     ns: Params = {}
     y, ns["conv1"] = _conv_bn(p["conv1"], s["conv1"], x, train)
-    y, ns["conv2"] = _conv_bn(p["conv2"], s["conv2"], y, train, stride=stride)
+    y, ns["conv2"] = _conv_bn(
+        p["conv2"], s["conv2"], y, train, stride=stride, padding=1
+    )
     y, ns["conv3"] = _conv_bn(p["conv3"], s["conv3"], y, train, relu=False)
     if "down" in p:
         sc, ns["down"] = _conv_bn(p["down"], s["down"], x, train, stride=stride, relu=False)
@@ -137,7 +141,9 @@ def resnet_features(
     """Returns (5 feature maps c=64/256/512/1024/2048, pooled (B,2048), state)."""
     x = x.astype(cfg.compute_dtype)
     new_state: Params = {}
-    y, new_state["stem"] = _conv_bn(params["stem"], state["stem"], x, train, stride=2)
+    y, new_state["stem"] = _conv_bn(
+        params["stem"], state["stem"], x, train, stride=2, padding=3
+    )
     feats = [y]  # 64ch, stride 2
     y = _max_pool_3x3_s2(y)
     for stage in range(4):

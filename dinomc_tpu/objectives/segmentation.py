@@ -122,6 +122,20 @@ def mmiou_loss(
     return -jnp.min(iou) - jnp.mean(iou)
 
 
+def liou_loss(
+    logits: jnp.ndarray,  # (B, H, W, C)
+    target: jnp.ndarray,  # (B, H, W)
+) -> jnp.ndarray:
+    """``liou_loss`` parity (``utils/loss.py:46-84``): ``-log(min IoU)`` over
+    the (batch, class) soft-IoU matrix, softmax probabilities. Defined but
+    unused by the reference trainers; kept for inventory completeness."""
+    C = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    one_hot = jax.nn.one_hot(target, C)
+    iou = _soft_iou_per_class(probs, one_hot)
+    return -jnp.log(jnp.min(iou))
+
+
 def multilabel_soft_margin_loss(
     logits: jnp.ndarray,  # (B, C)
     target: jnp.ndarray,  # (B, C) in {0,1}

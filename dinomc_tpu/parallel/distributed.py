@@ -63,6 +63,28 @@ def save_on_master(save_fn, *args, **kwargs) -> None:
         save_fn(*args, **kwargs)
 
 
+def reduce_dict(input_dict: dict, average: bool = True) -> dict:
+    """Sum (or average) a dict of host-side scalars/arrays across processes
+    (reference ``reduce_dict``, ``utils/utils.py:301-325``).
+
+    Under SPMD, metrics computed inside a jitted step over a global mesh are
+    already globally reduced by XLA; this covers host-side accumulators
+    (eval counters, meter totals) gathered over DCN. Values must share a
+    shape per key (scalars in practice). Single process: returns a copy.
+    """
+    if get_world_size() < 2:
+        return dict(input_dict)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(input_dict.keys())
+    stacked = np.stack([np.asarray(input_dict[k], np.float32) for k in keys])
+    reduced = np.asarray(multihost_utils.process_allgather(stacked)).sum(axis=0)
+    if average:
+        reduced = reduced / get_world_size()
+    return {k: reduced[i] for i, k in enumerate(keys)}
+
+
 def setup_for_distributed(is_master: Optional[bool] = None) -> None:
     """Gate print() to the master process unless ``force=True`` is passed
     (``utils/utils.py:467-479``)."""

@@ -60,11 +60,14 @@ def init_cls_train_state(
     key: jax.Array,
     cfg: ClsConfig,
     pretrained_backbone: Optional[Params] = None,
+    pretrained_bn_state: Optional[Params] = None,
 ) -> ClsTrainState:
     kb, kf, kr = jax.random.split(key, 3)
     backbone, bn_state = cfg.encoder().init(kb)
     if pretrained_backbone is not None:
         backbone = jax.tree_util.tree_map(jnp.asarray, pretrained_backbone)
+    if pretrained_bn_state is not None:  # convnet imports carry running stats
+        bn_state = jax.tree_util.tree_map(jnp.asarray, pretrained_bn_state)
     d = cfg.encoder().embed_dim
     params = {
         "backbone": backbone,

@@ -48,13 +48,21 @@ def exponential_lr(base_lr: float, epoch: int, gamma: float = 0.95) -> float:
 
 
 def init_oscd_train_state(
-    key: jax.Array, cfg: OSCDConfig, pretrained_encoder: Params = None
+    key: jax.Array,
+    cfg: OSCDConfig,
+    pretrained_encoder: Params = None,
+    pretrained_encoder_bn: Params = None,
 ) -> OSCDTrainState:
     kp, kr = jax.random.split(key)
     params, bn_state = init_siamese(kp, cfg.model)
     if pretrained_encoder is not None:
         params = dict(params)
         params["encoder"] = jax.tree_util.tree_map(jnp.asarray, pretrained_encoder)
+    if pretrained_encoder_bn is not None:
+        bn_state = dict(bn_state)
+        bn_state["encoder"] = jax.tree_util.tree_map(
+            jnp.asarray, pretrained_encoder_bn
+        )
     return OSCDTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

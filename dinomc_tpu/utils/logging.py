@@ -96,6 +96,30 @@ class MetricLogger:
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
 
+    def synchronize_between_processes(self):
+        """Sum each meter's (count, total) across processes so global_avg
+        reflects all ranks (reference ``SmoothedValue.synchronize_between_
+        processes`` + ``MetricLogger``, ``utils/utils.py:257-268,356-358``).
+        Window stats (median/avg) stay local, as in the reference."""
+        import jax
+
+        if jax.process_count() < 2:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        names = sorted(self.meters.keys())
+        if not names:
+            return
+        local = np.array(
+            [[self.meters[n].count, self.meters[n].total] for n in names],
+            np.float32,
+        )
+        summed = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+        for n, (cnt, tot) in zip(names, summed):
+            self.meters[n].count = int(cnt)
+            self.meters[n].total = float(tot)
+
     def log_every(self, iterable, print_freq: int, header: str = "", total: Optional[int] = None):
         """Iterate with periodic ``header [i/N] eta ... meters time data mem``
         lines (reference ``MetricLogger.log_every``, ``utils/utils.py:363-415``)."""

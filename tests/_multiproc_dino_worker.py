@@ -78,3 +78,21 @@ for raw in loader:  # raw: GLOBAL (16, 32, 32, 3); this process fed rows rank::2
 assert len(losses) == 2, losses  # two optimizer steps actually ran
 print("LOSSES", rank, " ".join(f"{x:.6f}" for x in losses), flush=True)
 assert all(np.isfinite(x) for x in losses)
+
+# Cross-process host-side reductions (reference utils/utils.py:257-268,
+# 301-325): reduce_dict averaging/summing and MetricLogger meter sync.
+from dinomc_tpu.parallel.distributed import reduce_dict  # noqa: E402
+from dinomc_tpu.utils.logging import MetricLogger  # noqa: E402
+
+rd = reduce_dict({"a": float(rank), "b": 2.0 * rank + 1.0}, average=True)
+assert abs(float(rd["a"]) - 0.5) < 1e-6, rd
+assert abs(float(rd["b"]) - 2.0) < 1e-6, rd
+rd_sum = reduce_dict({"a": float(rank)}, average=False)
+assert abs(float(rd_sum["a"]) - 1.0) < 1e-6, rd_sum
+
+ml = MetricLogger()
+ml.update(loss=float(rank + 1))  # rank0 sees 1.0, rank1 sees 2.0
+ml.synchronize_between_processes()
+assert ml.meters["loss"].count == 2, ml.meters["loss"].count
+assert abs(ml.meters["loss"].global_avg - 1.5) < 1e-6
+print("REDUCE_OK", rank, flush=True)

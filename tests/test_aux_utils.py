@@ -127,3 +127,22 @@ def test_save_segmentation_figure(tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_reduce_dict_single_process_copy():
+    from dinomc_tpu.parallel.distributed import reduce_dict
+
+    d = {"a": 1.0, "b": 2.0}
+    out = reduce_dict(d)
+    assert out == d and out is not d
+    assert reduce_dict(d, average=False) == d
+
+
+def test_metric_logger_sync_single_process_noop():
+    from dinomc_tpu.utils.logging import MetricLogger
+
+    ml = MetricLogger()
+    ml.update(loss=3.0)
+    ml.synchronize_between_processes()
+    assert ml.meters["loss"].count == 1
+    assert ml.meters["loss"].global_avg == 3.0

@@ -182,3 +182,22 @@ def test_train_seg_cli_seq_parallel(tmp_path):
     ))
     miou = mod.train_seg(args)
     assert 0.0 <= miou <= 100.0
+
+
+def test_eurosat_cli_resume_and_evaluate(tmp_path, capsys):
+    """Second run in the same output_dir resumes from the saved checkpoint
+    (restart_from_checkpoint parity, main_eurosat.py:109-114), and
+    --evaluate restores the fine-tuned full model (main_eurosat.py:71-80)."""
+    from dinomc_tpu.cli import eurosat as mod
+
+    common = dict(
+        arch="vit_tiny", patch_size=16, epochs=2, max_steps=2,
+        batch_size_per_gpu=2, output_dir=str(tmp_path), print_freq=1,
+    )
+    mod.run(_args(mod, common))
+    capsys.readouterr()
+    mod.run(_args(mod, common))
+    assert "resumed from checkpoint" in capsys.readouterr().out
+
+    acc = mod.run(_args(mod, dict(common, evaluate=True)))
+    assert 0.0 <= acc <= 100.0

@@ -63,6 +63,9 @@ def test_two_process_dino_steps_match_single_process():
     # SPMD: both processes execute the same global program
     np.testing.assert_allclose(losses0, losses1, rtol=0, atol=0)
     assert all(np.isfinite(x) for x in losses0)
+    # reduce_dict + MetricLogger.synchronize_between_processes ran in both
+    # workers (asserted rank-side; the marker proves they executed)
+    assert "REDUCE_OK" in outs[0] and "REDUCE_OK" in outs[1]
 
     # single-process reference over the SAME global batches (device order:
     # process 0's rows [0,2,...] then process 1's [1,3,...]), via the same

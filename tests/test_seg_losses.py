@@ -99,3 +99,19 @@ def test_multilabel_soft_margin_matches_torch():
         torch.tensor(logits), torch.tensor(target)
     ).item()
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_liou_loss_matches_reference():
+    """liou_loss (utils/loss.py:46-84): -log(min soft-IoU), softmax probs."""
+    logits = _rand((2, 4, 4, 2), seed=11)
+    target = np.random.RandomState(12).randint(0, 2, (2, 4, 4))
+    ours = float(seg.liou_loss(jnp.asarray(logits), jnp.asarray(target)))
+
+    tl = torch.tensor(logits).permute(0, 3, 1, 2)
+    tt = torch.tensor(target).long()
+    probs = F.softmax(tl, dim=1)
+    one_hot = F.one_hot(tt, 2).permute(0, 3, 1, 2).float()
+    inter = (probs * one_hot).reshape(2, 2, -1).sum(2)
+    union = (probs + one_hot - probs * one_hot).reshape(2, 2, -1).sum(2)
+    ref = (-torch.log(torch.min(inter / (union + 1e-8)))).item()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
