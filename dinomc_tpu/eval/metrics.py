@@ -162,6 +162,35 @@ def micro_map(scores: np.ndarray, labels: np.ndarray) -> float:
     return average_precision(scores.reshape(-1), labels.reshape(-1))
 
 
+class ConfuseMatrixMeter:
+    """Streaming (weighted) confusion-matrix meter.
+
+    Parity: ``ConfuseMatrixMeter`` (``utils/metric_tool.py:49-64``) — a
+    running weighted sum of per-batch confusion matrices; ``update_cm``
+    returns the CURRENT batch's mean F1 (``cm2F1``) and ``get_scores``
+    reports ``cm2score`` over the accumulated matrix. Host-side numpy
+    accumulator fed by the device-side ``confusion_matrix`` above.
+    """
+
+    def __init__(self, n_class: int):
+        self.n_class = n_class
+        self.sum = np.zeros((n_class, n_class), np.float64)
+        self.count = 0.0
+
+    def update_cm(self, pr, gt, weight: float = 1.0) -> float:
+        cm = np.asarray(confusion_matrix(jnp.asarray(pr), jnp.asarray(gt), self.n_class))
+        self.sum += weight * cm
+        self.count += weight
+        return float(cm2score(jnp.asarray(cm))["mf1"])
+
+    def get_scores(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in cm2score(jnp.asarray(self.sum)).items()}
+
+    def clear(self) -> None:
+        self.sum = np.zeros((self.n_class, self.n_class), np.float64)
+        self.count = 0.0
+
+
 # ---------------------------------------------------------------------------
 # report helpers (host-side)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,34 @@ def make_numpy_grid(
     return grid
 
 
+def transform_convert(
+    image: np.ndarray,
+    mean: Optional[Sequence[float]] = IMAGENET_MEAN,
+    std: Optional[Sequence[float]] = IMAGENET_STD,
+):
+    """Normalized float array -> displayable uint8 PIL image.
+
+    Parity: ``transform_convert`` (reference ``utils/visualization.py``),
+    which inverts a torchvision Normalize+ToTensor pipeline and returns a
+    PIL image. Ours takes (H, W, 3)/(H, W, 1)/(H, W) NHWC-convention
+    arrays (pass ``mean=None`` to skip denormalization for [0,1] inputs).
+    """
+    img = np.asarray(image, np.float32)
+    if img.ndim == 3 and img.shape[-1] not in (1, 3) and img.shape[0] in (1, 3):
+        img = np.moveaxis(img, 0, -1)  # accept CHW for torch-shaped inputs
+    if mean is not None:
+        img = de_norm(img, mean, std)
+    if img.ndim == 3 and img.shape[-1] == 1:
+        img = img[..., 0]
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[-1] != 3):
+        raise ValueError(f"expected (H,W), (H,W,1) or (H,W,3); got {image.shape}")
+    from PIL import Image
+
+    return Image.fromarray(
+        np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
+
+
 def save_segmentation_figure(
     image: np.ndarray,  # (H, W, 3) [0,1]
     pred_mask: np.ndarray,  # (H, W) class ids

@@ -146,3 +146,26 @@ def test_metric_logger_sync_single_process_noop():
     ml.synchronize_between_processes()
     assert ml.meters["loss"].count == 1
     assert ml.meters["loss"].global_avg == 3.0
+
+
+def test_transform_convert_roundtrip():
+    """transform_convert (reference utils/visualization.py): denormalize +
+    uint8 PIL; CHW inputs accepted; mean=None skips denorm."""
+    import numpy as np
+
+    from dinomc_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
+    from dinomc_tpu.utils.visualization import transform_convert
+
+    rng = np.random.RandomState(1)
+    raw = rng.rand(8, 6, 3).astype(np.float32)
+    normed = (raw - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    img = transform_convert(normed)
+    assert img.size == (6, 8) and img.mode == "RGB"
+    np.testing.assert_allclose(
+        np.asarray(img), np.clip(raw * 255 + 0.5, 0, 255).astype(np.uint8),
+        atol=1,
+    )
+    # CHW accepted; no-denorm path; grayscale
+    assert transform_convert(np.moveaxis(normed, -1, 0)).size == (6, 8)
+    g = transform_convert(raw[..., :1], mean=None)
+    assert g.mode == "L" and g.size == (6, 8)

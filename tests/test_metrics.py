@@ -90,3 +90,29 @@ def test_format_table_runs():
         ["bg", "fg"], metrics.seg_stats_finalize(stats)
     )
     assert "mean" in out and "bg" in out
+
+
+def test_confuse_matrix_meter_streaming():
+    """ConfuseMatrixMeter parity (utils/metric_tool.py:49-64): weighted
+    running CM; update_cm returns the batch mF1; get_scores == cm2score of
+    the accumulated matrix."""
+    import numpy as np
+
+    from dinomc_tpu.eval import metrics as M
+
+    rng = np.random.RandomState(0)
+    meter = M.ConfuseMatrixMeter(4)
+    total = np.zeros((4, 4))
+    for w in (1.0, 2.0):
+        gt = rng.randint(0, 4, size=(50,))
+        pr = rng.randint(0, 4, size=(50,))
+        batch_f1 = meter.update_cm(pr, gt, weight=w)
+        cm = np.asarray(M.confusion_matrix(jnp.asarray(pr), jnp.asarray(gt), 4))
+        total += w * cm
+        assert abs(batch_f1 - float(M.cm2score(jnp.asarray(cm))["mf1"])) < 1e-6
+    np.testing.assert_allclose(meter.sum, total)
+    scores = meter.get_scores()
+    ref = M.cm2score(jnp.asarray(total))
+    np.testing.assert_allclose(scores["miou"], np.asarray(ref["miou"]), atol=1e-6)
+    meter.clear()
+    assert meter.sum.sum() == 0 and meter.count == 0
