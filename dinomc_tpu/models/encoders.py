@@ -42,6 +42,13 @@ class EncoderConfig:
         return self.arch in ("resnet50", "wide_resnet50_2")
 
     @property
+    def supports_packing(self) -> bool:
+        """ViT only: plain global attention packs losslessly with a
+        block-diagonal mask. Convnets/Swin/XCiT have spatial ops (conv,
+        shifted windows, LPI) that would mix packed crops."""
+        return self.is_vit
+
+    @property
     def embed_dim(self) -> int:
         if self.is_vit:
             return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
@@ -95,6 +102,24 @@ class EncoderConfig:
             cfg = xc.XCIT_FACTORIES[self.arch](patch_size=self.patch_size)
             return xc.xcit_forward(params, x, cfg, rng, not train), state
         raise ValueError(self.arch)
+
+    def apply_packed(
+        self,
+        params: Params,
+        state: Params,
+        xa: jnp.ndarray,
+        xb: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
+        """Two crop batches in ONE packed forward (ViT only): exactly
+        ``apply(xa)`` + ``apply(xb)`` but half the kernel launches."""
+        if not self.supports_packing:
+            raise ValueError(f"{self.arch} does not support crop packing")
+        fa, fb = vt.vit_forward_packed(
+            params, xa, xb, self._vit_cfg(), rng, not train
+        )
+        return fa, fb, state
 
 
 ENCODER_ARCHS = (

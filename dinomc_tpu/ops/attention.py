@@ -31,18 +31,29 @@ def _pad_len(n: int) -> int:
 
 
 def dense_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    boundary: int = 0,
 ) -> jnp.ndarray:
-    """(B, N, h, d) reference attention; f32 softmax."""
+    """(B, N, h, d) reference attention; f32 softmax.
+
+    ``boundary`` (static): two-segment crop packing — tokens [0, boundary)
+    and [boundary, N) are independent crops; attention is block-diagonal.
+    """
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+    if boundary:
+        n = q.shape[1]
+        same = (jnp.arange(n)[:, None] < boundary) == (jnp.arange(n)[None, :] < boundary)
+        logits = jnp.where(same, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhnm,bmhd->bnhd", probs.astype(q.dtype), v)
 
 
 def flash_mha(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    boundary: int = 0,
 ) -> jnp.ndarray:
-    """(B, N, h, d) -> (B, N, h, d) via the TPU flash-attention kernel."""
+    """(B, N, h, d) -> (B, N, h, d) via the TPU flash-attention kernel.
+    ``boundary``: static two-segment packing split (0 = one segment)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
@@ -58,8 +69,12 @@ def flash_mha(
         return x
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
-    if Np != N:
-        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+    if Np != N or boundary:
+        pos = jnp.arange(Np)
+        seg = jnp.where(pos < N, 1, 0)
+        if boundary:
+            seg = jnp.where((pos >= boundary) & (pos < N), 2, seg)
+        seg = seg.astype(jnp.int32)[None].repeat(B, 0)
         seg_ids = SegmentIds(q=seg, kv=seg)
     else:
         seg_ids = None
@@ -76,16 +91,23 @@ def mha(
     impl: str = "auto",
     axis_name: str = "seq",
     n_valid: Optional[int] = None,
+    boundary: int = 0,
 ) -> jnp.ndarray:
     """Multi-head attention over (B, N, heads, head_dim) tensors.
 
     impl: 'auto' (flash on TPU, dense elsewhere) | 'flash' | 'dense' |
     'ring' (sequence-parallel: q/k/v are per-shard slices inside a
     ``shard_map`` over ``axis_name``; ``n_valid`` masks padded tail keys).
+
+    ``boundary`` (static): crop packing — the sequence holds two independent
+    crops split at ``boundary`` and attention is block-diagonal (supported
+    by fused/flash/dense; not ring).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "ring":
+        if boundary:
+            raise ValueError("crop packing (boundary) not supported with ring attention")
         from dinomc_tpu.ops.ring_attention import ring_attention
 
         return ring_attention(q, k, v, scale, axis_name, n_valid)
@@ -105,7 +127,7 @@ def mha(
     if impl == "fused":
         from dinomc_tpu.ops.pallas.attention import fused_mha
 
-        return fused_mha(q, k, v, scale)
+        return fused_mha(q, k, v, scale, boundary)
     if impl == "flash":
-        return flash_mha(q, k, v, scale)
-    return dense_attention(q, k, v, scale)
+        return flash_mha(q, k, v, scale, boundary)
+    return dense_attention(q, k, v, scale, boundary)

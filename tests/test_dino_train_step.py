@@ -182,3 +182,57 @@ def test_grad_accum_matches_big_batch():
             err_msg=f"param mismatch at {'/'.join(path)}",
         )
     assert int(st_acc.step) == 1
+
+
+def test_plan_packing_bench_sizes():
+    """At the bench multi-crop sizes (patch 8) the planner must pack all
+    three pairs, large-with-small, minimizing padded attention work:
+    (184,84)->640, (160,124)->640, (144,104)->512."""
+    from dinomc_tpu.models.encoders import EncoderConfig
+    from dinomc_tpu.train.dino_trainer import _plan_packing
+
+    enc = EncoderConfig(arch="vit_small", patch_size=8)
+    sizes = [184, 164, 144, 124, 104, 84]
+    work = [(s, jnp.zeros((4, s, s, 3)), [i]) for i, s in enumerate(sizes)]
+    pairs, singles = _plan_packing(work, enc)
+    assert not singles
+    got = sorted((a[0], b[0]) for a, b in pairs)
+    assert got == [(144, 104), (164, 124), (184, 84)]
+    # larger segment always first
+    for a, b in pairs:
+        assert (a[0] // 8) ** 2 >= (b[0] // 8) ** 2
+
+
+def test_plan_packing_same_size_not_packed():
+    """Equal-size crops are already batched in one bucket — nothing to pack."""
+    from dinomc_tpu.models.encoders import EncoderConfig
+    from dinomc_tpu.train.dino_trainer import _plan_packing
+
+    enc = EncoderConfig(arch="vit_small", patch_size=8)
+    work = [(96, jnp.zeros((8, 96, 96, 3)), [0, 1])]
+    pairs, singles = _plan_packing(work, enc)
+    assert pairs == [] and len(singles) == 1
+
+
+def test_crop_packing_matches_unpacked():
+    """crop_packing=True must reproduce the unpacked step exactly (no
+    drop-path, so rng-consumption differences are inert)."""
+    cfg_p = dataclasses.replace(TINY, drop_path_rate=0.0, crop_packing=True)
+    cfg_u = dataclasses.replace(TINY, drop_path_rate=0.0, crop_packing=False)
+    sch = _schedules(cfg_p)
+    g, _ = _batch()
+    # two DISTINCT local sizes with equal row counts -> one packed pair
+    locals_ = tuple(
+        jax.random.normal(jax.random.PRNGKey(i + 1), (8, s, s, 3), jnp.float32)
+        for i, s in enumerate([24, 16])
+    )
+    s0 = init_dino_train_state(jax.random.PRNGKey(0), cfg_p)
+    s1 = jax.tree_util.tree_map(jnp.copy, s0)
+    _, m_p = dino_train_step(s0, g, locals_, sch, cfg_p)
+    _, m_u = dino_train_step(s1, g, locals_, sch, cfg_u)
+    # same math up to float associativity (XLA tiles the packed-N matmuls
+    # differently); exact equivalence is covered in f32 by
+    # test_vit.py::test_packed_forward_matches_separate
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_u["loss"]), rtol=1e-3
+    )

@@ -66,6 +66,54 @@ def test_dispatch_on_cpu_is_dense():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def _two_segment_ref(q, k, v, scale, boundary):
+    """Concatenation of two independent dense attentions — the ground truth
+    for crop packing."""
+    a = att.dense_attention(q[:, :boundary], k[:, :boundary], v[:, :boundary], scale)
+    b = att.dense_attention(q[:, boundary:], k[:, boundary:], v[:, boundary:], scale)
+    return jnp.concatenate([a, b], axis=1)
+
+
+def test_boundary_fused_matches_two_separate():
+    q, k, v = _qkv(N=90, seed=4)
+    scale = 1.0 / np.sqrt(32)
+    ref = _two_segment_ref(q, k, v, scale, 57)
+    with pltpu.force_tpu_interpret_mode():
+        out = patt.fused_mha(q, k, v, scale, boundary=57)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_boundary_fused_grads_match_two_separate():
+    q, k, v = _qkv(N=70, seed=5)
+    scale = 1.0 / np.sqrt(32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_two_segment_ref(q, k, v, scale, 33) ** 2)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(patt.fused_mha(q, k, v, scale, boundary=33) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_boundary_dense_matches_two_separate():
+    q, k, v = _qkv(N=64, seed=6)
+    scale = 0.17
+    ref = _two_segment_ref(q, k, v, scale, 40)
+    out = att.dense_attention(q, k, v, scale, boundary=40)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_boundary_rejected_for_ring():
+    q, k, v = _qkv()
+    with pytest.raises(ValueError, match="boundary"):
+        att.mha(q, k, v, impl="ring", boundary=3)
+
+
 def test_dense_softmax_rows_sum_to_one():
     q, k, v = _qkv(seed=3)
     out = att.dense_attention(q, k, jnp.ones_like(v), 0.1)

@@ -108,3 +108,38 @@ def test_factories():
     for name, dim, heads in (("vit_tiny", 192, 3), ("vit_small", 384, 6), ("vit_base", 768, 12)):
         cfg = vit.VIT_FACTORIES[name](patch_size=16)
         assert cfg.embed_dim == dim and cfg.num_heads == heads and cfg.depth == 12
+
+
+def test_packed_forward_matches_separate(tiny):
+    """Crop packing (block-diagonal attention) must equal two separate
+    forwards exactly — LayerNorm/MLP are token-pointwise."""
+    cfg, params = tiny
+    ka, kb = jax.random.split(jax.random.PRNGKey(3))
+    xa = jax.random.uniform(ka, (2, 32, 32, 3))
+    xb = jax.random.uniform(kb, (2, 16, 16, 3))
+    fa, fb = vit.vit_forward_packed(params, xa, xb, cfg)
+    ra = vit.vit_forward(params, xa, cfg)
+    rb = vit.vit_forward(params, xb, cfg)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(ra), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(rb), atol=2e-5)
+
+
+def test_packed_forward_per_segment_drop_path(tiny):
+    """Stochastic depth under packing draws independent decisions per
+    segment: with a near-1 drop rate the two segments' outputs must not be
+    a shared all-dropped/all-kept pattern across many samples."""
+    cfg, params = tiny
+    import dataclasses as dc
+
+    cfg_dp = dc.replace(cfg, drop_path_rate=0.5)
+    xa = jax.random.uniform(jax.random.PRNGKey(4), (8, 32, 32, 3))
+    xb = jax.random.uniform(jax.random.PRNGKey(5), (8, 16, 16, 3))
+    rng = jax.random.PRNGKey(6)
+    fa, fb = vit.vit_forward_packed(params, xa, xb, cfg_dp, rng, False)
+    fa2, fb2 = vit.vit_forward_packed(params, xa, xb, cfg_dp, rng, False)
+    # deterministic given rng
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fa2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fb2), atol=1e-6)
+    # and differs from the no-dropout forward (dropout is actually applied)
+    ga, _ = vit.vit_forward_packed(params, xa, xb, cfg_dp)
+    assert not np.allclose(np.asarray(fa), np.asarray(ga), atol=1e-4)
