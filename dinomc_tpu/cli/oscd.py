@@ -24,6 +24,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_weights", default="", type=str)
     p.add_argument("--checkpoint_key", default="teacher", type=str)
     p.add_argument("--loss", default="bce", choices=["bce", "dice_bce"])
+    p.add_argument("--train_cities", default="", type=str,
+                   help="comma-separated city dirs; default: the official "
+                        "OSCD 14-city train split")
+    p.add_argument("--val_cities", default="", type=str,
+                   help="comma-separated city dirs; default: the official "
+                        "OSCD 10-city test split")
     p.add_argument("--freeze_encoder", default=True, type=bool_flag)
     p.add_argument("--epochs", default=100, type=int)
     p.add_argument("--batch_size", default=32, type=int)
@@ -73,13 +79,37 @@ def run(args) -> float:
 
     if args.data_path == "synthetic":
         ds = _SyntheticPairs(32)
+        n_val = max(len(ds) // 5, 1)
+        train_ds = val_ds = ds
+        train_idx = np.arange(len(ds) - n_val)
+        val_idx = np.arange(len(ds) - n_val, len(ds))
     else:
-        ds = OSCDTiles(args.data_path)
-    n_val = max(len(ds) // 5, 1)
-    train_idx = np.arange(len(ds) - n_val)
-    val_idx = np.arange(len(ds) - n_val, len(ds))
+        # Split by CITY (official OSCD 14/10 protocol, the reference's
+        # datamodule semantics) — an index split would leak tiles of one
+        # city into both sides. Falls back to an 80/20 index split when
+        # the directory names match neither list (custom corpora).
+        from pathlib import Path
 
-    def batches(indices, shuffle, seed):
+        from dinomc_tpu.data.oscd import TEST_CITIES, TRAIN_CITIES
+
+        train_c = args.train_cities.split(",") if args.train_cities else TRAIN_CITIES
+        val_c = args.val_cities.split(",") if args.val_cities else TEST_CITIES
+        present = {p.name for p in Path(args.data_path).iterdir() if p.is_dir()}
+        if present & set(train_c) and present & set(val_c):
+            train_ds = OSCDTiles(args.data_path, cities=train_c)
+            val_ds = OSCDTiles(args.data_path, cities=val_c)
+            train_idx = np.arange(len(train_ds))
+            val_idx = np.arange(len(val_ds))
+            print(f"city split: {len(train_ds)} train / {len(val_ds)} val tiles")
+        else:
+            print("city names match no OSCD split; using 80/20 tile split")
+            ds = OSCDTiles(args.data_path)
+            n_val = max(len(ds) // 5, 1)
+            train_ds = val_ds = ds
+            train_idx = np.arange(len(ds) - n_val)
+            val_idx = np.arange(len(ds) - n_val, len(ds))
+
+    def batches(ds, indices, shuffle, seed):
         order = np.array(indices)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -120,7 +150,7 @@ def run(args) -> float:
 
     def evaluate():
         tp = fp = fn = 0.0
-        for x1, x2, m in batches(val_idx, False, 0):
+        for x1, x2, m in batches(val_ds, val_idx, False, 0):
             logits = oscd_predict(
                 state.params, state.bn_state, jnp.asarray(x1), jnp.asarray(x2), cfg
             )
@@ -147,7 +177,7 @@ def run(args) -> float:
         lr = exponential_lr(args.lr, epoch)
         ml = MetricLogger()
         for x1, x2, m in ml.log_every(
-            batches(train_idx, True, epoch), args.print_freq, f"Epoch [{epoch}]",
+            batches(train_ds, train_idx, True, epoch), args.print_freq, f"Epoch [{epoch}]",
             total=max(len(train_idx) // args.batch_size, 1),
         ):
             state, metrics = oscd_train_step(

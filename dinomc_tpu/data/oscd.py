@@ -19,6 +19,19 @@ import numpy as np
 from dinomc_tpu.data.patching import custom_grid_coords
 from dinomc_tpu.data.seco import read_image
 
+# Official OSCD train/test city split (14/10), the protocol behind the
+# reference's README OSCD tables — SeCo's ChangeDetectionDataModule (which
+# the reference imports but does not ship, SURVEY.md §2.7) hard-codes it.
+TRAIN_CITIES = [
+    "abudhabi", "aguasclaras", "beihai", "beirut", "bercy", "bordeaux",
+    "cupertino", "hongkong", "mumbai", "nantes", "paris", "pisa",
+    "rennes", "saclay_e",
+]
+TEST_CITIES = [
+    "brasilia", "chongqing", "dubai", "lasvegas", "milano", "montpellier",
+    "norcia", "rio", "saclay_w", "valencia",
+]
+
 
 class OSCDTiles:
     """Tiled OSCD samples: (img1, img2, change_mask) 96px triplets.
