@@ -169,6 +169,64 @@ def swin_state_dict(params: Dict[str, Any], prefix: str = "") -> Dict[str, np.nd
     return sd
 
 
+def upernet_state_dict(
+    params: Dict[str, Any], state: Dict[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Our native UPerNet (params, bn_state) -> mmseg ``UPerNetDinoMC``
+    state-dict keys (inverse of ``torch_import.upernet_params_from_torch``;
+    see that docstring for the key map)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(vit_state_dict(params["backbone"], "backbone.vit."))
+
+    def cbr(prefix, p, s):
+        _conv_bn_to_torch(sd, p, s, prefix + ".conv", prefix + ".bn")
+
+    def conv(prefix, p):
+        sd[prefix + ".weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1).copy()
+        if "bias" in p:
+            sd[prefix + ".bias"] = _np(p["bias"])
+
+    if "neck" in params:
+        for i, p in enumerate(params["neck"]):
+            conv(f"neck.lateral_convs.{i}.conv", p["lateral"])
+            conv(f"neck.fpn_convs.{i}.conv", p["out"])
+    for i, (p, s) in enumerate(zip(params["psp"], state["psp"])):
+        cbr(f"decode_head.psp_modules.{i}.1", p, s)
+    cbr("decode_head.bottleneck", params["psp_bottleneck"], state["psp_bottleneck"])
+    for i, (p, s) in enumerate(zip(params["lateral"], state["lateral"])):
+        cbr(f"decode_head.lateral_convs.{i}", p, s)
+    for i, (p, s) in enumerate(zip(params["fpn"], state["fpn"])):
+        cbr(f"decode_head.fpn_convs.{i}", p, s)
+    cbr("decode_head.fpn_bottleneck", params["fusion"], state["fusion"])
+    conv("decode_head.conv_seg", params["classifier"])
+    cbr("auxiliary_head.convs.0", params["aux"]["conv"], state["aux"]["conv"])
+    conv("auxiliary_head.conv_seg", params["aux"]["classifier"])
+    return sd
+
+
+def export_seg_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    epoch: int = 0,
+    best_miou: Optional[float] = None,
+) -> str:
+    """Write a reference-format seg checkpoint
+    (``train_dino_mc_seg.py:190-197`` layout, minus the torch optimizer
+    state, which cannot map across param layouts and which no reference
+    eval path reads)."""
+    import torch
+
+    save: Dict[str, Any] = {
+        "epoch": int(epoch),
+        "model_state_dict": _to_torch(upernet_state_dict(params, state)),
+    }
+    if best_miou is not None:
+        save["best_miou"] = float(best_miou)
+    torch.save(save, path)
+    return path
+
+
 def backbone_state_dict_for_arch(
     arch: str,
     params: Dict[str, Any],

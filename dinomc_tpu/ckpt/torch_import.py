@@ -296,6 +296,99 @@ def load_linear_probe_weights(path: str):
     return sd[wk].T.astype(np.float32), sd[bk].astype(np.float32)
 
 
+def upernet_params_from_torch(sd: Dict[str, np.ndarray]) -> tuple:
+    """Map a reference seg checkpoint (mmseg ``UPerNetDinoMC`` /
+    ``UPerNetDinoDeiT`` state dict, ``models/networks.py:244-317``) to our
+    native UPerNet trees (``models/upernet.init_upernet`` layout).
+
+    mmseg naming (ConvModule = bias-free conv + BN):
+      * ``backbone.vit.*``                    -> ``backbone`` (ViT tree)
+      * ``decode_head.psp_modules.{i}.1``     -> ``psp[i]`` (``.0`` is the pool)
+      * ``decode_head.bottleneck``            -> ``psp_bottleneck``
+      * ``decode_head.lateral_convs.{i}``     -> ``lateral[i]``
+      * ``decode_head.fpn_convs.{i}``         -> ``fpn[i]``
+      * ``decode_head.fpn_bottleneck``        -> ``fusion``
+      * ``decode_head.conv_seg``              -> ``classifier``
+      * ``auxiliary_head.convs.0`` / ``conv_seg`` -> ``aux.conv`` / ``aux.classifier``
+      * optional ``neck.{lateral,fpn}_convs.{i}.conv`` -> ``neck[i].{lateral,out}``
+
+    Returns ``(params, bn_state)``.
+    """
+    vit_sd = {k[len("backbone.vit."):]: v for k, v in sd.items()
+              if k.startswith("backbone.vit.")}
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in vit_sd if k.startswith("blocks.")
+    )
+    params: Dict[str, Any] = {"backbone": vit_params_from_torch(vit_sd, depth)}
+    state: Dict[str, Any] = {}
+
+    def cbr(prefix):
+        return _conv_bn_from_torch(sd, prefix + ".conv", prefix + ".bn")
+
+    def conv(prefix):
+        p = {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0).astype(np.float32)}
+        if prefix + ".bias" in sd:
+            p["bias"] = sd[prefix + ".bias"].astype(np.float32)
+        return p
+
+    if any(k.startswith("neck.") for k in sd):
+        n = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("neck.lateral_convs."))
+        params["neck"] = [
+            {"lateral": conv(f"neck.lateral_convs.{i}.conv"),
+             "out": conv(f"neck.fpn_convs.{i}.conv")}
+            for i in range(n)
+        ]
+        state["neck"] = [{} for _ in range(n)]
+
+    n_psp = len({k.split(".")[2] for k in sd
+                 if k.startswith("decode_head.psp_modules.")})
+    pairs = [cbr(f"decode_head.psp_modules.{i}.1") for i in range(n_psp)]
+    params["psp"] = [p for p, _ in pairs]
+    state["psp"] = [s for _, s in pairs]
+    params["psp_bottleneck"], state["psp_bottleneck"] = cbr("decode_head.bottleneck")
+
+    n_lat = len({k.split(".")[2] for k in sd
+                 if k.startswith("decode_head.lateral_convs.")})
+    pairs = [cbr(f"decode_head.lateral_convs.{i}") for i in range(n_lat)]
+    params["lateral"] = [p for p, _ in pairs]
+    state["lateral"] = [s for _, s in pairs]
+    pairs = [cbr(f"decode_head.fpn_convs.{i}") for i in range(n_lat)]
+    params["fpn"] = [p for p, _ in pairs]
+    state["fpn"] = [s for _, s in pairs]
+
+    params["fusion"], state["fusion"] = cbr("decode_head.fpn_bottleneck")
+    params["classifier"] = conv("decode_head.conv_seg")
+
+    aux_p, aux_s = cbr("auxiliary_head.convs.0")
+    params["aux"] = {"conv": aux_p, "classifier": conv("auxiliary_head.conv_seg")}
+    state["aux"] = {"conv": aux_s}
+    return params, state
+
+
+def load_upernet_checkpoint(path: str) -> tuple:
+    """Read a reference seg checkpoint file -> (params, bn_state).
+
+    Accepts the seg trainers' ``{'model_state_dict': ...}`` dicts
+    (``train_dino_mc_seg.py:190-197``) as well as bare state dicts.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("model_state_dict", "state_dict"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    sd = {
+        k.replace("module.", ""): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in ckpt.items()
+    }
+    return upernet_params_from_torch(sd)
+
+
 def load_dino_backbone(
     path: str,
     checkpoint_key: Optional[str] = "teacher",

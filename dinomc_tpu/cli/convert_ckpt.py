@@ -31,10 +31,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="step to export (default: latest)")
     p.add_argument("--arch", default="vit_small", type=str,
                    help="encoder architecture the tree belongs to")
-    p.add_argument("--what", default="dino", choices=["dino", "backbone"],
+    p.add_argument("--what", default="auto", choices=["auto", "dino", "seg", "backbone"],
                    help="'dino': full student+teacher pretrain checkpoint "
-                        "(reference main_dino_mc.py layout); 'backbone': "
-                        "minimal {key: backbone} file")
+                        "(reference main_dino_mc.py layout); 'seg': UPerNet "
+                        "seg checkpoint (reference train_dino_mc_seg.py "
+                        "layout); 'backbone': minimal {key: backbone} file; "
+                        "'auto' picks dino/seg from the tree's fields")
     p.add_argument("--source", default="teacher", choices=["teacher", "student"],
                    help="which tower feeds a --what backbone export")
     p.add_argument("--checkpoint_key", default="teacher", type=str,
@@ -77,11 +79,30 @@ def run(args) -> str:
     out_dir = os.path.dirname(os.path.abspath(args.out))
     os.makedirs(out_dir, exist_ok=True)
 
-    is_train_state = all(
-        hasattr(tree, k) or (isinstance(tree, dict) and k in tree)
-        for k in ("student", "teacher", "center")
-    )
-    if args.what == "dino":
+    def has(k):
+        return hasattr(tree, k) or (isinstance(tree, dict) and k in tree)
+
+    is_train_state = all(has(k) for k in ("student", "teacher", "center"))
+    is_seg_state = all(has(k) for k in ("params", "bn_state"))
+    what = args.what
+    if what == "auto":
+        what = "dino" if is_train_state else "seg" if is_seg_state else "backbone"
+
+    if what == "seg":
+        from dinomc_tpu.ckpt.torch_export import export_seg_checkpoint
+
+        if not is_seg_state:
+            raise ValueError(f"{path} is not a seg train state")
+        out = export_seg_checkpoint(
+            args.out,
+            _field(tree, "params"),
+            _field(tree, "bn_state"),
+            epoch=int(_field(tree, "step")),
+        )
+        print(f"wrote {out}")
+        return out
+
+    if what == "dino":
         if not is_train_state:
             raise ValueError(
                 f"{path} is not a DINO train state; use --what backbone "
@@ -101,6 +122,9 @@ def run(args) -> str:
         if is_train_state:
             params = _field(tree, args.source)["backbone"]
             bn = _field(tree, f"{args.source}_state") or None
+        elif is_seg_state:
+            params = _field(tree, "params")["backbone"]
+            bn = None  # seg backbones are ViT (BN lives in the decoder)
         else:
             params = tree.get("backbone", tree) if isinstance(tree, dict) else tree
             bn = None

@@ -57,7 +57,15 @@ def run(args):
         )
     )
     state = init_seg_train_state(jax.random.PRNGKey(0), cfg)
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith((".pth", ".pt")):
+        from dinomc_tpu.ckpt.torch_import import load_upernet_checkpoint
+
+        params, bn_state = load_upernet_checkpoint(args.ckpt)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            bn_state=jax.tree_util.tree_map(jnp.asarray, bn_state),
+        )
+    elif args.ckpt:
         from dinomc_tpu.ckpt.orbax_io import CheckpointManager
 
         mgr = CheckpointManager(args.ckpt)

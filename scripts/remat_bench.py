@@ -34,6 +34,8 @@ def run(policy: str, B: int) -> float:
     orig = EncoderConfig._vit_cfg
 
     def patched(self):
+        if policy == "none":  # no remat: save every activation
+            return dataclasses.replace(orig(self), remat=False)
         return dataclasses.replace(orig(self), remat_policy=policy)
 
     EncoderConfig._vit_cfg = patched

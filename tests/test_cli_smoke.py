@@ -8,7 +8,19 @@ paths, per workload.
 
 import sys
 
+import jax
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_jax_caches():
+    """Each CLI test jits large unique programs (full train steps over
+    several crop sets / shard_map meshes) with no reuse across tests.
+    XLA:CPU has been observed to abort mid-suite from accumulated LLVM JIT
+    state (conftest clears only between modules); clearing per test inside
+    this heaviest module bounds it."""
+    yield
+    jax.clear_caches()
 
 
 def _args(mod, overrides):
@@ -258,3 +270,36 @@ def test_oscd_cli_city_split(tmp_path):
     ))
     f1 = mod.run(args)
     assert f1 == f1  # ran to completion; beirut+paris train, brasilia val
+
+
+def test_predict_cli_torch_seg_checkpoint(tmp_path):
+    """A reference-format seg .pth (mmseg UPerNetDinoMC state dict) loads
+    straight into the predict CLI via --ckpt."""
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from dinomc_tpu.ckpt.torch_export import export_seg_checkpoint
+    from dinomc_tpu.cli import predict as mod
+    from dinomc_tpu.models.upernet import UPerNetConfig, init_upernet
+
+    cfg = UPerNetConfig(num_classes=8, arch="vit_tiny", patch_size=16,
+                        channels=32, aux_channels=16)
+    params, state = init_upernet(jax.random.PRNGKey(0), cfg)
+    pth = str(tmp_path / "seg.pth")
+    export_seg_checkpoint(pth, params, state, epoch=1)
+
+    img_path = str(tmp_path / "img.png")
+    Image.fromarray(
+        (np.random.RandomState(1).rand(80, 80, 3) * 255).astype("uint8")
+    ).save(img_path)
+    p = mod.get_args_parser()
+    args = p.parse_args(["--image", img_path])
+    for k, v in dict(
+        arch="vit_tiny", patch_size=16, model_size=64, ckpt=pth,
+        out=str(tmp_path / "pred.png"),
+    ).items():
+        setattr(args, k, v)
+    pred = mod.run(args)
+    assert pred.shape == (80, 80)
+    assert (tmp_path / "pred.png").exists()

@@ -149,3 +149,72 @@ def test_export_convnet_dino_checkpoint(tmp_path):
     bp, bs = torch_import.resnet_params_from_torch(sd)
     _trees_equal(state.teacher["backbone"], bp)
     _trees_equal(state.teacher_state, bs)
+
+
+def test_upernet_export_import_roundtrip():
+    """Native UPerNet <-> mmseg UPerNetDinoMC state-dict keys, both ways."""
+    from dinomc_tpu.models.upernet import UPerNetConfig, init_upernet
+
+    cfg = UPerNetConfig(num_classes=6, arch="vit_tiny", patch_size=8,
+                        channels=32, aux_channels=16)
+    params, state = init_upernet(jax.random.PRNGKey(7), cfg)
+    sd = torch_export.upernet_state_dict(params, state)
+
+    # mmseg naming spot checks (networks.py:244-317 config -> mmseg modules)
+    for k in [
+        "backbone.vit.blocks.0.attn.qkv.weight",
+        "backbone.vit.patch_embed.proj.weight",
+        "decode_head.psp_modules.0.1.conv.weight",
+        "decode_head.psp_modules.3.1.bn.running_var",
+        "decode_head.bottleneck.conv.weight",
+        "decode_head.lateral_convs.2.bn.weight",
+        "decode_head.fpn_convs.0.conv.weight",
+        "decode_head.fpn_bottleneck.conv.weight",
+        "decode_head.conv_seg.bias",
+        "auxiliary_head.convs.0.conv.weight",
+        "auxiliary_head.conv_seg.weight",
+    ]:
+        assert k in sd, k
+    # ConvModule convs are bias-free (BN follows); conv_seg keeps its bias
+    assert "decode_head.bottleneck.conv.bias" not in sd
+    assert sd["decode_head.conv_seg.weight"].shape == (6, 32, 1, 1)
+
+    bp, bs = torch_import.upernet_params_from_torch(sd)
+    _trees_equal(params, bp)
+    _trees_equal(state, bs)
+
+
+def test_upernet_export_roundtrip_with_neck():
+    from dinomc_tpu.models.upernet import UPerNetConfig, init_upernet
+
+    cfg = UPerNetConfig(num_classes=4, arch="vit_tiny", patch_size=8,
+                        channels=16, aux_channels=8, use_fpn_neck=True)
+    params, state = init_upernet(jax.random.PRNGKey(8), cfg)
+    sd = torch_export.upernet_state_dict(params, state)
+    assert "neck.lateral_convs.0.conv.weight" in sd
+    assert "neck.fpn_convs.3.conv.bias" in sd
+    bp, bs = torch_import.upernet_params_from_torch(sd)
+    _trees_equal(params, bp)
+    _trees_equal(state, bs)
+
+
+def test_seg_checkpoint_file_roundtrip(tmp_path):
+    """export_seg_checkpoint writes the reference trainer's layout
+    (train_dino_mc_seg.py:190-197) and load_upernet_checkpoint reads it."""
+    import torch
+
+    from dinomc_tpu.models.upernet import UPerNetConfig, init_upernet
+
+    cfg = UPerNetConfig(num_classes=6, arch="vit_tiny", patch_size=8,
+                        channels=32, aux_channels=16)
+    params, state = init_upernet(jax.random.PRNGKey(9), cfg)
+    out = str(tmp_path / "seg.pth")
+    torch_export.export_seg_checkpoint(out, params, state, epoch=3,
+                                       best_miou=0.5)
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 3 and raw["best_miou"] == 0.5
+    assert "model_state_dict" in raw
+
+    bp, bs = torch_import.load_upernet_checkpoint(out)
+    _trees_equal(params, bp)
+    _trees_equal(state, bs)
