@@ -169,6 +169,43 @@ def swin_state_dict(params: Dict[str, Any], prefix: str = "") -> Dict[str, np.nd
     return sd
 
 
+def cls_state_dict(
+    arch: str,
+    params: Dict[str, Any],
+    bn_state: Optional[Dict[str, Any]] = None,
+) -> Dict[str, np.ndarray]:
+    """Our cls trees (``{'backbone', 'fc'}``) -> reference full-model state
+    dict (classifier at ``head`` for ViT/Swin, ``fc`` for convnets)."""
+    sd = backbone_state_dict_for_arch(arch, params["backbone"], bn_state)
+    name = "fc" if arch in ("resnet50", "wide_resnet50_2") else "head"
+    sd[name + ".weight"] = _np(params["fc"]["kernel"]).T.copy()
+    sd[name + ".bias"] = _np(params["fc"]["bias"])
+    return sd
+
+
+def export_cls_checkpoint(
+    path: str,
+    arch: str,
+    params: Dict[str, Any],
+    bn_state: Optional[Dict[str, Any]] = None,
+    epoch: int = 0,
+    best_acc: Optional[float] = None,
+) -> str:
+    """Write a reference-format classification checkpoint
+    (``main_eurosat.py:144-154`` layout minus torch optimizer/scheduler
+    state): ``{'epoch', 'state_dict', 'best_acc'}``."""
+    import torch
+
+    save: Dict[str, Any] = {
+        "epoch": int(epoch),
+        "state_dict": _to_torch(cls_state_dict(arch, params, bn_state)),
+    }
+    if best_acc is not None:
+        save["best_acc"] = float(best_acc)
+    torch.save(save, path)
+    return path
+
+
 def upernet_state_dict(
     params: Dict[str, Any], state: Dict[str, Any]
 ) -> Dict[str, np.ndarray]:

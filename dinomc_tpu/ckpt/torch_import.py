@@ -296,6 +296,41 @@ def load_linear_probe_weights(path: str):
     return sd[wk].T.astype(np.float32), sd[bk].astype(np.float32)
 
 
+def cls_params_from_torch(sd: Dict[str, np.ndarray], arch: str) -> tuple:
+    """Map a reference fine-tuned classification state dict (full model:
+    backbone + classifier, ``main_eurosat.py:144-154`` /
+    ``main_bigearthnet.py:183-202``) to our cls trees.
+
+    The classifier lives at ``head`` on ViT/Swin/XCiT
+    (``vision_transformer.py:159``) and ``fc`` on torchvision convnets.
+    Returns ``(params {'backbone', 'fc'}, bn_state)``.
+    """
+    if arch in ("resnet50", "wide_resnet50_2"):
+        bp, bs = resnet_params_from_torch(sd)
+        fc = bp.pop("fc")
+        return {"backbone": bp, "fc": fc}, bs
+    if arch.startswith("vit") or arch.startswith("deit"):
+        depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+        backbone = vit_params_from_torch(sd, depth)
+    elif arch in ("swin_t", "swin_tiny"):
+        backbone = swin_params_from_torch(sd)
+    else:
+        raise ValueError(f"no cls importer for arch '{arch}'")
+    fc = {
+        "kernel": sd["head.weight"].T.astype(np.float32),
+        "bias": sd["head.bias"].astype(np.float32),
+    }
+    return {"backbone": backbone, "fc": fc}, {}
+
+
+def load_cls_checkpoint(path: str, arch: str) -> tuple:
+    """Read a reference fine-tuned classification checkpoint file
+    (``{'state_dict': full model, 'epoch', 'best_acc', ...}``) ->
+    ``(params, bn_state)`` for ``train/cls_trainer``."""
+    sd = load_torch_state_dict(path, checkpoint_key="state_dict")
+    return cls_params_from_torch(sd, arch)
+
+
 def upernet_params_from_torch(sd: Dict[str, np.ndarray]) -> tuple:
     """Map a reference seg checkpoint (mmseg ``UPerNetDinoMC`` /
     ``UPerNetDinoDeiT`` state dict, ``models/networks.py:244-317``) to our

@@ -31,12 +31,14 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="step to export (default: latest)")
     p.add_argument("--arch", default="vit_small", type=str,
                    help="encoder architecture the tree belongs to")
-    p.add_argument("--what", default="auto", choices=["auto", "dino", "seg", "backbone"],
+    p.add_argument("--what", default="auto",
+                   choices=["auto", "dino", "seg", "cls", "backbone"],
                    help="'dino': full student+teacher pretrain checkpoint "
                         "(reference main_dino_mc.py layout); 'seg': UPerNet "
                         "seg checkpoint (reference train_dino_mc_seg.py "
-                        "layout); 'backbone': minimal {key: backbone} file; "
-                        "'auto' picks dino/seg from the tree's fields")
+                        "layout); 'cls': fine-tuned classifier (reference "
+                        "main_eurosat.py layout); 'backbone': minimal "
+                        "{key: backbone} file; 'auto' picks from the tree")
     p.add_argument("--source", default="teacher", choices=["teacher", "student"],
                    help="which tower feeds a --what backbone export")
     p.add_argument("--checkpoint_key", default="teacher", type=str,
@@ -83,10 +85,29 @@ def run(args) -> str:
         return hasattr(tree, k) or (isinstance(tree, dict) and k in tree)
 
     is_train_state = all(has(k) for k in ("student", "teacher", "center"))
-    is_seg_state = all(has(k) for k in ("params", "bn_state"))
+    is_model_state = all(has(k) for k in ("params", "bn_state"))
+    model_params = _field(tree, "params") if is_model_state else {}
+    is_cls_state = is_model_state and "fc" in model_params
+    is_seg_state = is_model_state and "psp" in model_params
     what = args.what
     if what == "auto":
-        what = "dino" if is_train_state else "seg" if is_seg_state else "backbone"
+        what = ("dino" if is_train_state else "cls" if is_cls_state
+                else "seg" if is_seg_state else "backbone")
+
+    if what == "cls":
+        from dinomc_tpu.ckpt.torch_export import export_cls_checkpoint
+
+        if not is_cls_state:
+            raise ValueError(f"{path} is not a classification train state")
+        out = export_cls_checkpoint(
+            args.out,
+            args.arch,
+            model_params,
+            _field(tree, "bn_state") or None,
+            epoch=int(_field(tree, "step")),
+        )
+        print(f"wrote {out}")
+        return out
 
     if what == "seg":
         from dinomc_tpu.ckpt.torch_export import export_seg_checkpoint
@@ -122,9 +143,11 @@ def run(args) -> str:
         if is_train_state:
             params = _field(tree, args.source)["backbone"]
             bn = _field(tree, f"{args.source}_state") or None
-        elif is_seg_state:
-            params = _field(tree, "params")["backbone"]
-            bn = None  # seg backbones are ViT (BN lives in the decoder)
+        elif is_model_state:
+            params = model_params["backbone"]
+            # convnet cls states carry backbone BN stats; seg backbones are
+            # ViT (their bn_state is the decoder's and is ignored for vit*)
+            bn = _field(tree, "bn_state") or None
         else:
             params = tree.get("backbone", tree) if isinstance(tree, dict) else tree
             bn = None

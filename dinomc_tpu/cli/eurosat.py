@@ -164,8 +164,25 @@ def run(args) -> float:
 
     if args.evaluate:
         # reference --evaluate loads a FINE-TUNED full model (ckpt
-        # 'state_dict' incl. the classifier head, main_eurosat.py:71-80):
-        # restore this run's best fine-tune checkpoint before scoring
+        # 'state_dict' incl. the classifier head, main_eurosat.py:71-80).
+        # A torch --pretrained_weights file whose state_dict carries a
+        # classifier is loaded whole; otherwise restore this run's best
+        # fine-tune checkpoint before scoring.
+        if args.pretrained_weights.endswith((".pth", ".pt", ".pth.tar")):
+            from dinomc_tpu.ckpt.torch_import import (
+                load_cls_checkpoint,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(args.pretrained_weights, "state_dict")
+            if "head.weight" in sd or "fc.weight" in sd:
+                params, bn = load_cls_checkpoint(args.pretrained_weights, args.arch)
+                state = state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, params),
+                    bn_state=jax.tree_util.tree_map(jnp.asarray, bn),
+                )
+                print("loaded fine-tuned torch model (incl. classifier)")
+                return evaluate()
         mgr = CheckpointManager(f"{args.output_dir}/checkpoints",
                                 max_to_keep=1, best_mode="max",
                                 metric_name="acc")

@@ -303,3 +303,26 @@ def test_predict_cli_torch_seg_checkpoint(tmp_path):
     pred = mod.run(args)
     assert pred.shape == (80, 80)
     assert (tmp_path / "pred.png").exists()
+
+
+def test_eurosat_cli_evaluate_torch_checkpoint(tmp_path, capsys):
+    """--evaluate with a reference-format fine-tuned .pth.tar (full model
+    incl. classifier) scores it directly, no orbax run needed."""
+    import jax as _jax
+
+    from dinomc_tpu.ckpt.torch_export import export_cls_checkpoint
+    from dinomc_tpu.cli import eurosat as mod
+    from dinomc_tpu.train.cls_trainer import ClsConfig, init_cls_train_state
+
+    cfg = ClsConfig(arch="vit_tiny", patch_size=16, num_classes=10)
+    state = init_cls_train_state(_jax.random.PRNGKey(3), cfg)
+    pth = str(tmp_path / "luc_checkpoint_best.pth.tar")
+    export_cls_checkpoint(pth, "vit_tiny", state.params, epoch=1, best_acc=10.0)
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, batch_size_per_gpu=2,
+        output_dir=str(tmp_path), evaluate=True, pretrained_weights=pth,
+    ))
+    acc = mod.run(args)
+    assert 0.0 <= acc <= 100.0
+    assert "loaded fine-tuned torch model" in capsys.readouterr().out

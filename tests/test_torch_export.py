@@ -218,3 +218,38 @@ def test_seg_checkpoint_file_roundtrip(tmp_path):
     bp, bs = torch_import.load_upernet_checkpoint(out)
     _trees_equal(params, bp)
     _trees_equal(state, bs)
+
+
+def test_cls_export_import_roundtrip_vit():
+    """Fine-tuned classifier export: ViT backbone + 'head' linear
+    (vision_transformer.py:159 naming)."""
+    from dinomc_tpu.train.cls_trainer import ClsConfig, init_cls_train_state
+
+    cfg = ClsConfig(arch="vit_tiny", patch_size=8, num_classes=10)
+    state = init_cls_train_state(jax.random.PRNGKey(10), cfg)
+    sd = torch_export.cls_state_dict("vit_tiny", state.params)
+    assert sd["head.weight"].shape == (10, 192)
+    params, _ = torch_import.cls_params_from_torch(sd, "vit_tiny")
+    _trees_equal(state.params, params)
+
+
+def test_cls_checkpoint_file_roundtrip_resnet(tmp_path):
+    """ResNet classifier checkpoint in the reference main_eurosat.py layout,
+    with the classifier at 'fc' and BN running stats carried through."""
+    import torch
+
+    from dinomc_tpu.train.cls_trainer import ClsConfig, init_cls_train_state
+
+    cfg = ClsConfig(arch="resnet50", num_classes=5)
+    state = init_cls_train_state(jax.random.PRNGKey(11), cfg)
+    out = str(tmp_path / "luc_checkpoint_best.pth.tar")
+    torch_export.export_cls_checkpoint(
+        out, "resnet50", state.params, state.bn_state, epoch=2, best_acc=77.5
+    )
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 2 and raw["best_acc"] == 77.5
+    assert "fc.weight" in raw["state_dict"]
+
+    params, bn = torch_import.load_cls_checkpoint(out, "resnet50")
+    _trees_equal(state.params, params)
+    _trees_equal(state.bn_state, bn)
