@@ -82,6 +82,11 @@ def dino_head_state_dict(
     """
     sd: Dict[str, np.ndarray] = {}
     n = sum(1 for k in params if k.startswith("mlp_"))
+    assert not any("bn_scale" in params[f"mlp_{j}"] for j in range(n)), (
+        "BN-in-head exports are not supported: torch Sequential indices "
+        "shift with BatchNorm modules (use_bn_in_head=False, the reference "
+        "default, for exportable runs)"
+    )
     for j in range(n):
         layer = params[f"mlp_{j}"]
         sd[f"{prefix}mlp.{2 * j}.weight"] = _np(layer["kernel"]).T.copy()
