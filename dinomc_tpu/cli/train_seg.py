@@ -52,6 +52,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="shard the ViT token axis over N chips (ring "
                         "attention); the remaining chips form the data axis. "
                         "For large inputs (512 px = 4097 tokens at patch 8)")
+    p.add_argument("--wandb", default=False, type=bool_flag,
+                   help="log per-epoch metrics to Weights & Biases (no-op "
+                        "when the wandb package / login is unavailable); "
+                        "reference: train_dino_mc_seg.py:44-59")
+    p.add_argument("--wandb_project", default="dinomc_tpu_seg", type=str)
     return p
 
 
@@ -162,6 +167,12 @@ def train_seg(args) -> float:
         metric_name="miou",
     )
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
+    from dinomc_tpu.utils.logging import WandbLogger
+
+    wb = WandbLogger(
+        args.wandb_project, name=f"{args.dataset}_{args.arch}",
+        config=vars(args), enabled=bool(getattr(args, "wandb", False)),
+    )
     aug_rng = jax.random.PRNGKey(args.seed)
     best_miou, it, start_epoch = 0.0, 0, 0
     # resume from this run's newest checkpoint (the reference seg trainers
@@ -213,6 +224,18 @@ def train_seg(args) -> float:
         print(M.format_class_metrics_table(spec.classes, scores))
         logger.write({"epoch": epoch, "miou": scores["miou"], "mf1": scores["mf1"],
                       "acc": scores["acc"]})
+        if wb.active:
+            # per-class IoU/F1 panels, as the reference logs them
+            # (train_dino_mc_seg.py:171-185)
+            wb.log(
+                {"epoch": epoch, "val/miou": scores["miou"],
+                 "val/mf1": scores["mf1"], "val/acc": scores["acc"],
+                 **{f"val/iou_{c}": v for c, v in
+                    zip(spec.classes, scores["iou"])},
+                 **{f"val/f1_{c}": v for c, v in
+                    zip(spec.classes, scores["f1"])}},
+                step=epoch,
+            )
         write_epoch_csv(
             f"{args.output_dir}/metrics.csv", epoch,
             {"miou": scores["miou"], "mf1": scores["mf1"], "acc": scores["acc"]},
@@ -226,6 +249,7 @@ def train_seg(args) -> float:
             break
     ckpt.wait()
     ckpt.close()
+    wb.finish()
     print(f"best mIoU: {best_miou:.4f}")
     return best_miou
 

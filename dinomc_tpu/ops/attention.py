@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 
 _BLOCK = 128
+# Above this padded length the chunked-query kernel's VMEM working set
+# (resident K/V feature block + f32 dK/dV accumulators + score chunk) stops
+# fitting; dispatch to the streaming flash kernel instead.
+MAX_LONG_LEN = 5120
 
 
 def _pad_len(n: int) -> int:
@@ -121,13 +125,25 @@ def mha(
         if jax.default_backend() == "tpu":
             from dinomc_tpu.ops.pallas.attention import MAX_FUSED_LEN, _pad_len
 
-            impl = "fused" if _pad_len(q.shape[1]) <= MAX_FUSED_LEN else "flash"
+            np_ = _pad_len(q.shape[1])
+            if np_ <= MAX_FUSED_LEN:
+                impl = "fused"
+            elif np_ <= MAX_LONG_LEN and not boundary:
+                impl = "fused_long"
+            else:
+                impl = "flash"
         else:
             impl = "dense"
     if impl == "fused":
         from dinomc_tpu.ops.pallas.attention import fused_mha
 
         return fused_mha(q, k, v, scale, boundary)
+    if impl == "fused_long":
+        if boundary:
+            raise ValueError("crop packing (boundary) not supported by fused_long")
+        from dinomc_tpu.ops.pallas.attention_long import long_mha
+
+        return long_mha(q, k, v, scale)
     if impl == "flash":
         return flash_mha(q, k, v, scale, boundary)
     return dense_attention(q, k, v, scale, boundary)

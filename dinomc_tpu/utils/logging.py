@@ -228,6 +228,42 @@ class TensorBoardLogger:
             self._w.close()
 
 
+class WandbLogger:
+    """Optional Weights & Biases run logging (the reference seg trainers
+    call ``wandb.init``/``wandb.log`` directly, ``train_dino_mc_seg.py:44-59,
+    171-185``, with the API key parked in ``config.py:346``). Gated: no-ops
+    unless the ``wandb`` package is importable AND ``WANDB_API_KEY`` (or an
+    existing ``wandb login``) is configured — training never depends on it."""
+
+    def __init__(self, project: str, name: Optional[str] = None,
+                 config: Optional[Dict] = None, enabled: bool = True):
+        self._run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=project, name=name, config=config or {},
+                reinit=True,
+            )
+        except Exception:
+            self._run = None
+
+    @property
+    def active(self) -> bool:
+        return self._run is not None
+
+    def log(self, metrics: Dict, step: Optional[int] = None) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+            self._run = None
+
+
 class Tee:
     """Mirror stdout to a log file (reference ``Logger``,
     ``utils/logger_tool.py``)."""

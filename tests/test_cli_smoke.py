@@ -184,16 +184,41 @@ def test_predict_cli(tmp_path):
 
 def test_train_seg_cli_seq_parallel(tmp_path):
     """Seg training with the ViT token axis sharded over 'seq' (ring
-    attention), backbone trainable so grads flow through the ppermute ring."""
-    from dinomc_tpu.cli import train_seg as mod
+    attention), backbone trainable so grads flow through the ppermute ring.
 
-    args = _args(mod, dict(
-        arch="vit_tiny", patch_size=16, image_size=64, epochs=1,
-        max_steps=2, batch_size=2, output_dir=str(tmp_path), print_freq=1,
-        seq_parallel=4, train_backbone=True,
-    ))
-    miou = mod.train_seg(args)
-    assert 0.0 <= miou <= 100.0
+    Runs as a REAL subprocess CLI invocation: (a) it exercises the actual
+    ``python -m`` entry point, and (b) this is the largest shard_map grad
+    compile in the suite — in-process it reliably aborts XLA:CPU from
+    accumulated LLVM JIT state at the end of this (heaviest) module, even
+    with per-test cache clearing.
+
+    Uses a 4-device (data=1, seq=4) mesh rather than the suite's usual 8:
+    with data>1 the SPMD partitioner inserts a data<->seq resharding
+    all-to-all alongside the ring ppermute, and XLA:CPU's in-process
+    communicator can rendezvous those two collectives in divergent order
+    across device threads on an oversubscribed host (observed hard
+    deadlock at nproc=1) — a CPU-runtime race, not a sharding bug; the
+    data>1 case is covered on the real collective path by
+    __graft_entry__.dryrun_multichip."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-m", "dinomc_tpu.cli.train_seg",
+         "--arch", "vit_tiny", "--patch_size", "16", "--image_size", "64",
+         "--epochs", "1", "--max_steps", "2", "--batch_size", "2",
+         "--output_dir", str(tmp_path), "--print_freq", "1",
+         "--seq_parallel", "4", "--train_backbone", "true"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, f"CLI failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "best mIoU" in proc.stdout
 
 
 def test_eurosat_cli_resume_and_evaluate(tmp_path, capsys):

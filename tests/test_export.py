@@ -45,3 +45,17 @@ def test_tensorboard_logger_gated(tmp_path):
     tb.scalar("loss", 1.0, 0)
     tb.image("img", np.zeros((4, 4, 3), np.float32), 0)
     tb.close()
+
+
+def test_wandb_logger_gated():
+    from dinomc_tpu.utils.logging import WandbLogger
+
+    # disabled: never touches wandb
+    wb = WandbLogger("proj", enabled=False)
+    assert not wb.active
+    wb.log({"x": 1.0}, step=0)
+    wb.finish()
+    # enabled but wandb unavailable/unconfigured: silently inactive
+    wb = WandbLogger("proj", name="run", config={"a": 1}, enabled=True)
+    wb.log({"x": 1.0}, step=0)
+    wb.finish()
