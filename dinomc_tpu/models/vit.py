@@ -302,9 +302,13 @@ def _mlp(x, p_mlp, gelu_approx=True, impl="dense"):
             approx=gelu_approx,
         )
         return y.reshape(B, N, D)
+    from jax.ad_checkpoint import checkpoint_name
+
     y = jnp.einsum("bnd,df->bnf", x, p_mlp["fc1"]["kernel"].astype(x.dtype))
     y = y + p_mlp["fc1"]["bias"].astype(x.dtype)
     y = jax.nn.gelu(y, approximate=gelu_approx)
+    # named so remat_policy='attn+mlp' can save it (identity otherwise)
+    y = checkpoint_name(y, "mlp_h")
     y = jnp.einsum("bnf,fd->bnd", y, p_mlp["fc2"]["kernel"].astype(x.dtype))
     y = y + p_mlp["fc2"]["bias"].astype(x.dtype)
     return y
@@ -417,6 +421,17 @@ def _scan_blocks(
             block_fn = jax.checkpoint(
                 block_fn,
                 policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
+        elif cfg.remat_policy == "attn+mlp":
+            # save the attention output AND the GELU'd MLP hidden: backward
+            # additionally skips the fc1 matmul + GELU recompute (the
+            # largest single linear recompute, 4D^2/token) at 4D/token/layer
+            # of HBM — the throughput/memory point between 'attn' and 'dots'
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "mlp_h"
+                ),
             )
         elif cfg.remat_policy == "qkv+attn":
             # save qkv + attention output: backward skips the qkv matmul AND
