@@ -33,10 +33,13 @@ def main():
         init_dino_train_state,
     )
 
-    # Per-chip batch: swept {12..64} on v5e — B=24 is fastest (103 img/s
-    # under the 'attn' remat policy; B=32 drops to 96 from HBM pressure and
-    # B=64 fails to fit at compile). Reference default is 8/GPU.
-    B = 24
+    # Per-chip batch: swept {12..64} on v5e under the 'attn' remat policy —
+    # B=12 is fastest (108.4 img/s; 16 -> 105.4, 24 -> 103.0, 32 -> 96 from
+    # HBM pressure, 64 fails to fit at compile). The sweep moved down as the
+    # step got leaner (local-crop packing, selective remat): less HBM per
+    # image favors the smaller, lower-latency batch. Reference default is
+    # 8/GPU. Sweep: scripts/remat_bench.py -B 12,14,16,18,20,24 attn.
+    B = 12
     epochs, niter = 1, 100
     cfg = DinoConfig(arch="vit_small", patch_size=8, out_dim=65536, niter_per_ep=niter)
     state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
