@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import jax
@@ -82,7 +83,14 @@ def random_subset(n: int, frac: float, seed: int = 42) -> np.ndarray:
 
 class PrefetchLoader:
     """Assemble batches in background threads, optionally device_put with a
-    target sharding, keep ``prefetch`` batches in flight."""
+    target sharding, keep ``prefetch`` batches in flight.
+
+    ``num_threads`` fans the per-item ``dataset[i]`` fetches of each batch
+    over a thread pool (order-preserving). Decode paths release the GIL —
+    the native loader entirely, PIL/numpy partially — so this is the
+    replacement for the reference's 10-process fork pool
+    (``main_dino_mc.py:195-201``); measured host-IO rates are in
+    docs/performance.md."""
 
     def __init__(
         self,
@@ -119,13 +127,21 @@ class PrefetchLoader:
             return False
 
         error: list = []
+        pool = (
+            ThreadPoolExecutor(self.num_threads) if self.num_threads > 1 else None
+        )
+
+        def fetch(idx) -> list:
+            if pool is None:
+                return [self.dataset[int(i)] for i in idx]
+            return list(pool.map(self.dataset.__getitem__, [int(i) for i in idx]))
 
         def producer():
             try:
                 for idx in self.sampler:
                     if stop.is_set():
                         return
-                    items = [self.dataset[int(i)] for i in idx]
+                    items = fetch(idx)
                     batch = self.collate(items)
                     if self.sharding is not None:
                         if jax.process_count() > 1:
@@ -143,6 +159,8 @@ class PrefetchLoader:
             except BaseException as e:  # surface in the consumer, not stderr
                 error.append(e)
             finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -229,6 +229,35 @@ def test_prefetch_loader_yields_all():
     np.testing.assert_allclose(batches[0][0], 0.0)
 
 
+def test_prefetch_loader_threaded_matches_serial():
+    """num_threads>1 fans dataset[i] over a pool; batches must keep sampler
+    order and item order within the batch (pool.map preserves order)."""
+    ds = _ArrDs(13)
+    serial = list(dl.PrefetchLoader(
+        ds, dl.ShardedSampler(13, 3, shuffle=True, seed=7), num_threads=1))
+    threaded = list(dl.PrefetchLoader(
+        ds, dl.ShardedSampler(13, 3, shuffle=True, seed=7), num_threads=4))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_loader_threaded_propagates_errors():
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("decode failed")
+            return np.zeros((2, 2, 3), np.float32)
+
+    loader = dl.PrefetchLoader(
+        Boom(), dl.ShardedSampler(8, 2, shuffle=False), num_threads=4)
+    with pytest.raises(ValueError, match="decode failed"):
+        list(loader)
+
+
 def test_infinite_loader_wraps():
     ds = _ArrDs(4)
     sampler = dl.ShardedSampler(4, 2, shuffle=True, seed=0)
