@@ -33,15 +33,22 @@ def main():
         init_dino_train_state,
     )
 
-    # Per-chip batch: swept {12..64} on v5e under the 'attn' remat policy —
-    # B=12 is fastest (108.4 img/s; 16 -> 105.4, 24 -> 103.0, 32 -> 96 from
-    # HBM pressure, 64 fails to fit at compile). The sweep moved down as the
-    # step got leaner (local-crop packing, selective remat): less HBM per
-    # image favors the smaller, lower-latency batch. Reference default is
-    # 8/GPU. Sweep: scripts/remat_bench.py -B 12,14,16,18,20,24 attn.
-    B = 12
+    # Per-chip batch + remat policy: swept jointly on v5e
+    # (scripts/remat_bench.py). 'qkv+attn+mlp' (save qkv + attention output
+    # + GELU'd MLP hidden; backward recomputes only layernorms) at B=10 is
+    # fastest: 110.2 img/s mean over 3 runs (B=8 -> 102.5, B=12 -> 109.1);
+    # 'attn' peaks at B=14 with 109.6. The heavier-save policy wins at the
+    # small bench-optimal batch where HBM pressure is low; 'attn' remains
+    # the default for larger batches. Reference default is 8 img/GPU.
+    B = 10
     epochs, niter = 1, 100
-    cfg = DinoConfig(arch="vit_small", patch_size=8, out_dim=65536, niter_per_ep=niter)
+    cfg = DinoConfig(
+        arch="vit_small",
+        patch_size=8,
+        out_dim=65536,
+        niter_per_ep=niter,
+        remat_policy="qkv+attn+mlp",
+    )
     state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
     sch = DinoSchedules(
         lr=jnp.asarray(schedules.cosine_scheduler(5e-4, 1e-6, epochs, niter)),

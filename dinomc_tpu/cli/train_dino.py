@@ -92,6 +92,15 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "apply one optimizer step on the averaged gradients "
                         "(reference-scale effective batches on few chips); "
                         "batch_size_per_gpu must be divisible by N")
+    p.add_argument("--remat_policy", default="attn", type=str,
+                   choices=["full", "dots", "dots+attn", "attn", "qkv+attn",
+                            "attn+mlp", "qkv+attn+mlp"],
+                   help="ViT selective rematerialization: which block "
+                        "activations to save for backward (all numerically "
+                        "identical; recompute-vs-HBM trade — see "
+                        "models/vit.ViTConfig and scripts/remat_bench.py; "
+                        "'qkv+attn+mlp' is fastest at small per-chip batches, "
+                        "'attn' at larger ones)")
     return p
 
 
@@ -208,6 +217,7 @@ def train_dino(args) -> float:
         optimizer=args.optimizer,
         niter_per_ep=niter_per_ep,
         n_global_crops=3 if temporal else args.global_crops_number,
+        remat_policy=args.remat_policy,
     )
     sch = DinoSchedules(
         lr=jnp.asarray(schedules.cosine_scheduler(

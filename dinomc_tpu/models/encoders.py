@@ -32,6 +32,7 @@ class EncoderConfig:
     patch_size: int = 16  # ViT only
     img_size: int = 224
     drop_path_rate: float = 0.0  # ViT student only
+    remat_policy: str = "attn"  # ViT only; see models/vit.ViTConfig
 
     @property
     def is_vit(self) -> bool:
@@ -65,6 +66,7 @@ class EncoderConfig:
             patch_size=self.patch_size,
             img_size=self.img_size,
             drop_path_rate=self.drop_path_rate,
+            remat_policy=self.remat_policy,
         )
 
     def _rn_cfg(self) -> rn.ResNetConfig:

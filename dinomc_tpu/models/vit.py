@@ -92,17 +92,21 @@ class ViTConfig:
     # only elementwise ops; 'dots+attn' additionally saves the fused
     # attention output; 'attn' saves ONLY the attention output; 'qkv+attn'
     # saves qkv + attention output (backward skips the qkv matmul and the
-    # attention forward, recomputing just layernorms + MLP).
+    # attention forward, recomputing just layernorms + MLP); 'qkv+attn+mlp'
+    # additionally saves the GELU'd MLP hidden — backward recomputes only
+    # the layernorms, the maximum-save point short of disabling remat.
     # Measured on v5e, DINO-MC bench shapes (img/s/chip):
-    #   full:     98.2 @B24, 87.6 @B32   (min memory)
-    #   dots:     ~92 @B32 — saved-tensor HBM writes eat the saved FLOPs
-    #   attn:     101.2 @B16, 103.0 @B24, 96.4 @B32   <- default
-    #   qkv+attn: 103.4 @B16, 101.2 @B24, 95.8 @B32
-    # 'attn' wins: the fused-attention forward is the most expensive single
-    # recompute, and its output is only D/token/layer of HBM (~60 MB/layer
-    # at B=24) — the matmul-heavy recomputes (qkv/MLP) are nearly free in
-    # wall time because they pipeline onto the idle MXU during the
-    # VPU-bound parts of the backward.
+    #   full:         98.2 @B24, 87.6 @B32   (min memory)
+    #   dots:         ~92 @B32 — saved-tensor HBM writes eat the saved FLOPs
+    #   attn:         99.0 @B10, 108.6 @B12, 109.6 @B14, 103.0 @B24  <- default
+    #   qkv+attn:     103.4 @B16, 101.2 @B24, 95.8 @B32
+    #   qkv+attn+mlp: 110.2 @B10 (3-run mean), 109.1 @B12, 106.8 @B14
+    # 'attn' is the default: the fused-attention forward is the most
+    # expensive single recompute, and its output is only D/token/layer of
+    # HBM — the matmul-heavy recomputes (qkv/MLP) are nearly free in wall
+    # time because they pipeline onto the idle MXU during the VPU-bound
+    # parts of the backward. 'qkv+attn+mlp' edges it out only at small
+    # per-chip batches (B≈10) where HBM pressure is low; bench.py uses it.
     remat_policy: str = "attn"
 
     @property
@@ -445,6 +449,16 @@ def _scan_blocks(
                     "qkv", "attn_out"
                 ),
             )
+        elif cfg.remat_policy == "qkv+attn+mlp":
+            # save qkv + attention output + GELU'd MLP hidden: backward
+            # recomputes only the layernorms. 8D/token/layer of HBM — viable
+            # at the small bench-optimal batches where HBM pressure is low.
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "qkv", "attn_out", "mlp_h"
+                ),
+            )
         else:
             block_fn = jax.checkpoint(block_fn)
 
@@ -453,7 +467,18 @@ def _scan_blocks(
         y = block_fn(x, bp, keep, masks)
         return y, (y if collect_intermediates else None)
 
-    out, inter = jax.lax.scan(body, tokens, (params["blocks"], dp_keeps, dp_masks))
+    # Cast the stacked matmul weights to the compute dtype ONCE, outside the
+    # scan: the astype inside the body converts a fresh f32 slice from HBM
+    # every layer (~7 MB f32/layer for ViT-S), on every forward AND every
+    # remat recompute; converting the whole stacked tree up front halves
+    # that weight traffic. LayerNorm params stay f32 (their math is f32);
+    # elementwise-identical to the per-slice cast.
+    blocks = dict(params["blocks"])
+    dt = cfg.compute_dtype
+    blocks["attn"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["attn"])
+    blocks["mlp"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["mlp"])
+
+    out, inter = jax.lax.scan(body, tokens, (blocks, dp_keeps, dp_masks))
     return out, inter
 
 

@@ -72,6 +72,11 @@ class DinoConfig:
     # forwards (ViT only; exact — see models/vit.py:vit_forward_packed).
     # Measured −8.4% on the local-crop fwd+bwd at bench shapes.
     crop_packing: bool = True
+    # ViT selective-remat policy (models/vit.ViTConfig.remat_policy). All
+    # policies are numerically identical; the choice trades recompute FLOPs
+    # against saved-activation HBM. Measured on v5e (scripts/remat_bench.py):
+    # 'attn' peaks at B=14 (109.6 img/s), 'qkv+attn+mlp' at B=10 (110.2).
+    remat_policy: str = "attn"
 
     def encoder(self, student: bool) -> EncoderConfig:
         return EncoderConfig(
@@ -79,6 +84,7 @@ class DinoConfig:
             patch_size=self.patch_size,
             img_size=self.global_crop_size,
             drop_path_rate=self.drop_path_rate if student else 0.0,
+            remat_policy=self.remat_policy,
         )
 
     def head_config(self) -> DINOHeadConfig:

@@ -26,22 +26,25 @@ from dinomc_tpu.train.dino_trainer import (
 
 
 def run(policy: str, B: int) -> float:
-    # Inject the remat policy through the factory layer. The patched factory
-    # only runs at TRACE time and DinoConfig (the jit cache key) carries no
-    # remat field — without dropping the cache, every policy after the first
-    # at a given B would silently re-time the first policy's executable.
+    # 'none' (disable remat entirely) still needs the factory patch; named
+    # policies flow through DinoConfig.remat_policy (part of the jit key).
     jax.clear_caches()
     orig = EncoderConfig._vit_cfg
 
     def patched(self):
-        if policy == "none":  # no remat: save every activation
-            return dataclasses.replace(orig(self), remat=False)
-        return dataclasses.replace(orig(self), remat_policy=policy)
+        return dataclasses.replace(orig(self), remat=False)
 
-    EncoderConfig._vit_cfg = patched
+    if policy == "none":
+        EncoderConfig._vit_cfg = patched
     try:
         epochs, niter = 1, 100
-        cfg = DinoConfig(arch="vit_small", patch_size=8, out_dim=65536, niter_per_ep=niter)
+        cfg = DinoConfig(
+            arch="vit_small",
+            patch_size=8,
+            out_dim=65536,
+            niter_per_ep=niter,
+            remat_policy=policy if policy != "none" else "attn",
+        )
         state = init_dino_train_state(jax.random.PRNGKey(0), cfg)
         sch = DinoSchedules(
             lr=jnp.asarray(schedules.cosine_scheduler(5e-4, 1e-6, epochs, niter)),

@@ -12,7 +12,7 @@ import pytest
 
 from dinomc_tpu.models import vit
 
-POLICIES = ["full", "dots", "dots+attn", "attn", "qkv+attn", "attn+mlp"]
+POLICIES = ["full", "dots", "dots+attn", "attn", "qkv+attn", "attn+mlp", "qkv+attn+mlp"]
 
 
 def _cfg(**kw):
