@@ -124,6 +124,21 @@ def test_packed_forward_matches_separate(tiny):
     np.testing.assert_allclose(np.asarray(fb), np.asarray(rb), atol=2e-5)
 
 
+def test_packed_forward_matches_separate_multiblock(tiny):
+    """Packed equivalence at sizes whose packed length spans multiple
+    128-token kernel blocks (80px -> 101 + 88px -> 122 tokens = 223): the
+    boundary mask must stay exact across block edges."""
+    cfg, params = tiny
+    ka, kb = jax.random.split(jax.random.PRNGKey(7))
+    xa = jax.random.uniform(ka, (2, 80, 80, 3))
+    xb = jax.random.uniform(kb, (2, 88, 88, 3))
+    fa, fb = vit.vit_forward_packed(params, xa, xb, cfg)
+    ra = vit.vit_forward(params, xa, cfg)
+    rb = vit.vit_forward(params, xb, cfg)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(ra), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(rb), atol=2e-5)
+
+
 def test_packed_forward_per_segment_drop_path(tiny):
     """Stochastic depth under packing draws independent decisions per
     segment: with a near-1 drop rate the two segments' outputs must not be
