@@ -76,19 +76,35 @@ def main():
     state, rng, metrics = step(state, rng)
     float(metrics["loss"])
 
-    # Three independent timing windows, report the best: run-to-run noise
-    # on the shared-host relay is ~±3%; max-of-3 recovers the machine's
-    # actual sustained rate rather than a noise draw.
+    # Three independent timing windows. Headline `value` is the best window
+    # (run-to-run noise on the shared-host relay is ~±3%; max-of-3 recovers
+    # the machine's sustained rate rather than a noise draw); `value_mean`
+    # is the mean-of-3, comparable to the progression table in
+    # docs/performance.md. Both are emitted so the methodology is explicit.
     iters = 10
-    best_dt = float("inf")
+    dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, rng, metrics = step(state, rng)
         float(metrics["loss"])  # chain dependency forces all steps to complete
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
-    img_per_sec = B * iters / best_dt
+    img_per_sec = B * iters / min(dts)
+    img_per_sec_mean = B * iters * len(dts) / sum(dts)
+
+    # Analytic model-FLOPs MFU (see dinomc_tpu/utils/flops.py for the
+    # convention: matmul FLOPs only, no remat recompute, fwd+bwd = 3x fwd).
+    from dinomc_tpu.utils import flops as flops_model
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next(
+        (v for k, v in flops_model.TPU_PEAK_FLOPS.items() if k in kind),
+        flops_model.TPU_PEAK_FLOPS["v5e"],
+    )
+    f_img = flops_model.dino_step_flops_per_image(
+        patch_size=cfg.patch_size, out_dim=cfg.out_dim
+    )
     print(
         json.dumps(
             {
@@ -96,6 +112,9 @@ def main():
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_S, 3),
+                "value_mean": round(img_per_sec_mean, 2),
+                "mfu": round(flops_model.mfu(img_per_sec, f_img, peak), 4),
+                "model_gflops_per_image": round(f_img / 1e9, 1),
             }
         )
     )

@@ -33,6 +33,10 @@ class EncoderConfig:
     img_size: int = 224
     drop_path_rate: float = 0.0  # ViT student only
     remat_policy: str = "attn"  # ViT only; see models/vit.ViTConfig
+    # bf16 is the TPU training default; float32 is used by the torch-oracle
+    # parity tests (tests/test_step_oracle.py) and strict-import paths.
+    compute_dtype: Any = jnp.bfloat16
+    gelu_approx: bool = True  # ViT only; False = exact erf (torch parity)
 
     @property
     def is_vit(self) -> bool:
@@ -40,7 +44,7 @@ class EncoderConfig:
 
     @property
     def has_bn(self) -> bool:
-        return self.arch in ("resnet50", "wide_resnet50_2")
+        return self.arch in ("resnet50", "wide_resnet50_2", "resnet_test")
 
     @property
     def supports_packing(self) -> bool:
@@ -52,8 +56,10 @@ class EncoderConfig:
     @property
     def embed_dim(self) -> int:
         if self.is_vit:
-            return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
-        if self.arch in ("resnet50", "wide_resnet50_2"):
+            return {
+                "vit_tiny": 192, "vit_small": 384, "vit_base": 768, "vit_test": 32,
+            }[self.arch]
+        if self.has_bn:
             return 2048
         if self.arch == "swin_t":
             return 768
@@ -67,10 +73,12 @@ class EncoderConfig:
             img_size=self.img_size,
             drop_path_rate=self.drop_path_rate,
             remat_policy=self.remat_policy,
+            compute_dtype=self.compute_dtype,
+            gelu_approx=self.gelu_approx,
         )
 
     def _rn_cfg(self) -> rn.ResNetConfig:
-        return rn.RESNET_FACTORIES[self.arch]()
+        return rn.RESNET_FACTORIES[self.arch](compute_dtype=self.compute_dtype)
 
     def init(self, key: jax.Array) -> Tuple[Params, Params]:
         if self.is_vit:
@@ -78,9 +86,11 @@ class EncoderConfig:
         if self.has_bn:
             return rn.init_resnet(key, self._rn_cfg())
         if self.arch == "swin_t":
-            return sw.init_swin(key, sw.swin_t()), {}
+            return sw.init_swin(key, sw.swin_t(compute_dtype=self.compute_dtype)), {}
         if self.arch.startswith("xcit"):
-            cfg = xc.XCIT_FACTORIES[self.arch](patch_size=self.patch_size)
+            cfg = xc.XCIT_FACTORIES[self.arch](
+                patch_size=self.patch_size, compute_dtype=self.compute_dtype
+            )
             return xc.init_xcit(key, cfg), {}
         raise ValueError(self.arch)
 
@@ -99,9 +109,13 @@ class EncoderConfig:
         if self.has_bn:
             return rn.resnet_forward(params, state, x, self._rn_cfg(), train)
         if self.arch == "swin_t":
-            return sw.swin_forward(params, x, sw.swin_t(), not train, rng), state
+            return sw.swin_forward(
+                params, x, sw.swin_t(compute_dtype=self.compute_dtype), not train, rng
+            ), state
         if self.arch.startswith("xcit"):
-            cfg = xc.XCIT_FACTORIES[self.arch](patch_size=self.patch_size)
+            cfg = xc.XCIT_FACTORIES[self.arch](
+                patch_size=self.patch_size, compute_dtype=self.compute_dtype
+            )
             return xc.xcit_forward(params, x, cfg, rng, not train), state
         raise ValueError(self.arch)
 

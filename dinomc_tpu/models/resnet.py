@@ -47,7 +47,17 @@ def wide_resnet50_2(**kw) -> ResNetConfig:
     return ResNetConfig(width_per_group=128, **kw)
 
 
-RESNET_FACTORIES = {"resnet50": resnet50, "wide_resnet50_2": wide_resnet50_2}
+def resnet_test(**kw) -> ResNetConfig:
+    """Micro ResNet (1 bottleneck per stage) for cross-framework parity
+    tests (tests/test_step_oracle.py) — exercises the full BN/SyncBN path."""
+    return ResNetConfig(stage_sizes=(1, 1, 1, 1), **kw)
+
+
+RESNET_FACTORIES = {
+    "resnet50": resnet50,
+    "wide_resnet50_2": wide_resnet50_2,
+    "resnet_test": resnet_test,
+}
 
 
 def _conv_bn_init(key, k, c_in, c_out):

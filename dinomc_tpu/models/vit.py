@@ -138,7 +138,19 @@ def vit_base(patch_size: int = 16, **kw) -> "ViTConfig":
     return ViTConfig(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)
 
 
-VIT_FACTORIES = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}
+def vit_test(patch_size: int = 4, **kw) -> "ViTConfig":
+    """Micro ViT for cross-framework parity tests (tests/test_step_oracle.py):
+    small enough that a torch oracle runs the full DINO step in seconds."""
+    kw.setdefault("img_size", 16)
+    return ViTConfig(patch_size=patch_size, embed_dim=32, depth=3, num_heads=2, **kw)
+
+
+VIT_FACTORIES = {
+    "vit_tiny": vit_tiny,
+    "vit_small": vit_small,
+    "vit_base": vit_base,
+    "vit_test": vit_test,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +241,40 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def _torch_bicubic_matrix(in_size: int, out_size: int, scale: float):
+    """1-D resize weight matrix (out_size, in_size) reproducing torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` with a
+    user-provided ``scale_factor`` (ATen upsample_bicubic2d): source
+    coordinate ``x = (i + 0.5)/scale - 0.5``, cubic-convolution kernel with
+    A = -0.75, taps edge-clamped, no weight renormalization, no antialias.
+
+    Built with numpy at trace time (static shapes) so the resize itself is
+    two dense matmuls — no gather, MXU-friendly.
+    """
+    import numpy as np
+
+    a = -0.75
+    xs = (np.arange(out_size, dtype=np.float64) + 0.5) / scale - 0.5
+    i0 = np.floor(xs)
+    t = xs - i0
+
+    def k_inner(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def k_outer(x):  # 1 < |x| < 2
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+
+    taps = np.stack(
+        [k_outer(t + 1.0), k_inner(t), k_inner(1.0 - t), k_outer(2.0 - t)], 0
+    )  # (4, out)
+    W = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    for j in range(4):
+        idx = np.clip(i0.astype(np.int64) - 1 + j, 0, in_size - 1)
+        np.add.at(W, (rows, idx), taps[j])
+    return W.astype(np.float32)
+
+
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray, grid_hw: Tuple[int, int]
 ) -> jnp.ndarray:
@@ -236,7 +282,11 @@ def interpolate_pos_embed(
 
     Parity with reference ``interpolate_pos_encoding``
     (``vision_transformer.py:174-194``): CLS pos kept as-is, patch pos
-    embeddings treated as a (g, g, D) image and resized bicubically.
+    embeddings treated as a (g, g, D) image and resized with the exact
+    torch bicubic semantics the reference uses — including its
+    ``scale_factor=(g_new + 0.1)/g_old`` fudge — via
+    :func:`_torch_bicubic_matrix` (verified against ``F.interpolate`` in
+    tests/test_vit.py::test_pos_embed_interpolation_matches_torch).
     """
     gh, gw = grid_hw
     _, n_plus_1, dim = pos_embed.shape
@@ -245,8 +295,11 @@ def interpolate_pos_embed(
     if (gh, gw) == (g0, g0):
         return pos_embed
     cls_pos = pos_embed[:, :1]
-    patch_pos = pos_embed[:, 1:].reshape(1, g0, g0, dim).astype(jnp.float32)
-    patch_pos = jax.image.resize(patch_pos, (1, gh, gw, dim), method="bicubic")
+    patch_pos = pos_embed[:, 1:].reshape(g0, g0, dim).astype(jnp.float32)
+    wh = jnp.asarray(_torch_bicubic_matrix(g0, gh, (gh + 0.1) / g0))
+    ww = jnp.asarray(_torch_bicubic_matrix(g0, gw, (gw + 0.1) / g0))
+    patch_pos = jnp.einsum("hi,ijd->hjd", wh, patch_pos)
+    patch_pos = jnp.einsum("wj,hjd->hwd", ww, patch_pos)
     patch_pos = patch_pos.reshape(1, gh * gw, dim)
     return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
 

@@ -77,6 +77,11 @@ class DinoConfig:
     # against saved-activation HBM. Measured on v5e (scripts/remat_bench.py):
     # 'attn' peaks at B=14 (109.6 img/s), 'qkv+attn+mlp' at B=10 (110.2).
     remat_policy: str = "attn"
+    # bf16 is the TPU training path (reference uses fp16 AMP,
+    # main_dino_mc.py:89-92); "float32" + gelu_approx=False is the
+    # bit-faithful mode the torch-oracle step test runs in.
+    compute_dtype: str = "bfloat16"
+    gelu_approx: bool = True
 
     def encoder(self, student: bool) -> EncoderConfig:
         return EncoderConfig(
@@ -85,6 +90,8 @@ class DinoConfig:
             img_size=self.global_crop_size,
             drop_path_rate=self.drop_path_rate if student else 0.0,
             remat_policy=self.remat_policy,
+            compute_dtype=jnp.dtype(self.compute_dtype).type,
+            gelu_approx=self.gelu_approx,
         )
 
     def head_config(self) -> DINOHeadConfig:
@@ -93,6 +100,7 @@ class DinoConfig:
             out_dim=self.out_dim,
             use_bn=self.use_bn_in_head,
             norm_last_layer=self.norm_last_layer,
+            compute_dtype=jnp.dtype(self.compute_dtype).type,
         )
 
 
@@ -142,6 +150,12 @@ def _masks(cfg: DinoConfig, student: Params):
     """Weight-decay mask, last-layer mask, frozen-g mask (pytrees of 0/1)."""
     wd_m = optim.wd_mask(student)
     last_layer_m = optim.path_mask(student, lambda p: "head/last_layer" in p)
+    # torch stores weight-norm g as (out, 1) — 2-D — so the reference's
+    # get_params_groups REGULARIZES it (utils/utils.py:649-660), unlike every
+    # other 1-D scale. Our g is stored 1-D; force it into the wd group to
+    # match. (Moot when norm_last_layer=True: g is frozen entirely.)
+    g_m = optim.path_mask(student, lambda p: p == "head/last_layer/g")
+    wd_m = jax.tree_util.tree_map(jnp.maximum, wd_m, g_m)
     if cfg.norm_last_layer:
         frozen_m = optim.path_mask(student, lambda p: p == "head/last_layer/g")
     else:
@@ -273,26 +287,25 @@ def _forward_crops(
     return logits.reshape(len(feats), B, -1), bn_state
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def dino_train_step(
+def dino_loss_and_grads(
     state: DinoTrainState,
     global_crops: jnp.ndarray,
     local_crops: Tuple[jnp.ndarray, ...],
-    schedules: DinoSchedules,
+    teacher_temp: jnp.ndarray,
+    step_rng: Optional[jax.Array],
     cfg: DinoConfig,
-) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
+):
+    """Teacher + student multi-crop forwards, DINO loss, student grads.
+
+    The forward/backward core of the train step, exposed separately so the
+    torch-oracle parity test (tests/test_step_oracle.py) can compare raw
+    gradients against the reference composition before any optimizer state
+    enters the picture. Returns
+    ``(loss, grads, new_center, new_student_state, new_teacher_state)``.
+    """
     enc_s = cfg.encoder(student=True)
     enc_t = cfg.encoder(student=False)
     head_cfg = cfg.head_config()
-
-    step = state.step
-    epoch = step // cfg.niter_per_ep
-    lr = schedules.lr[step]
-    wd = schedules.wd[step]
-    ema_m = schedules.teacher_momentum[step]
-    teacher_temp = schedules.teacher_temp[epoch]
-
-    rng, step_rng = jax.random.split(state.rng)
 
     # Teacher forward: global views only (main_dino_mc.py:373). The teacher
     # stays in train mode (reference never calls .eval()): BN uses batch
@@ -333,6 +346,31 @@ def dino_train_step(
     (loss, (new_center, new_student_state)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.student)
+    return loss, grads, new_center, new_student_state, new_teacher_state
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def dino_train_step(
+    state: DinoTrainState,
+    global_crops: jnp.ndarray,
+    local_crops: Tuple[jnp.ndarray, ...],
+    schedules: DinoSchedules,
+    cfg: DinoConfig,
+) -> Tuple[DinoTrainState, Dict[str, jnp.ndarray]]:
+    step = state.step
+    epoch = step // cfg.niter_per_ep
+    lr = schedules.lr[step]
+    wd = schedules.wd[step]
+    ema_m = schedules.teacher_momentum[step]
+    teacher_temp = schedules.teacher_temp[epoch]
+
+    rng, step_rng = jax.random.split(state.rng)
+
+    loss, grads, new_center, new_student_state, new_teacher_state = (
+        dino_loss_and_grads(
+            state, global_crops, local_crops, teacher_temp, step_rng, cfg
+        )
+    )
 
     return _finish_step(
         state, grads, loss, new_center, new_student_state, new_teacher_state,

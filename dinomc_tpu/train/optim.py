@@ -97,7 +97,16 @@ def scale_by_mask(grads: Params, mask: Params, scale: jnp.ndarray) -> Params:
 
 def adamw_init(params: Params) -> Dict[str, Any]:
     zeros = lambda p: tree_map(lambda x: jnp.zeros_like(x, jnp.float32), p)
-    return {"mu": zeros(params), "nu": zeros(params), "count": jnp.zeros((), jnp.int32)}
+    # ``count`` is PER-LEAF (a pytree of int32 scalars), matching torch's
+    # per-parameter ``state['step']``: a param whose grad is cancelled
+    # (reference ``cancel_gradients_last_layer``, ``utils/utils.py:157-162``,
+    # sets ``.grad = None`` and torch skips it entirely) must not advance
+    # its bias-correction step count while frozen.
+    return {
+        "mu": zeros(params),
+        "nu": zeros(params),
+        "count": tree_map(lambda x: jnp.zeros((), jnp.int32), params),
+    }
 
 
 def adamw_update(
@@ -114,33 +123,39 @@ def adamw_update(
 ) -> Tuple[Params, Dict[str, Any]]:
     """Torch-AdamW semantics: p -= lr * (mhat/(sqrt(vhat)+eps) + wd*p*mask).
 
-    ``frozen_mask`` (1.0 = frozen) zeroes the update entirely — used to pin
-    the weight-norm ``g`` when ``norm_last_layer=True`` (reference
-    ``vision_transformer.py:279-282``).
+    ``frozen_mask`` (1.0 = frozen) reproduces torch's ``grad is None`` skip
+    exactly: the param, its moments, AND its step count are all left
+    untouched — used for the weight-norm ``g`` when ``norm_last_layer=True``
+    (reference ``vision_transformer.py:279-282``) and for the last layer
+    during the freeze epochs. (A frozen-then-unfrozen param therefore starts
+    with zero moments and full bias correction, like the reference.)
     """
-    count = state["count"] + 1
-    c = count.astype(jnp.float32)
-    bc1 = 1.0 - b1**c
-    bc2 = 1.0 - b2**c
+    if frozen_mask is None:
+        live = tree_map(lambda x: jnp.ones((), jnp.float32), params)
+    else:
+        live = tree_map(lambda f: 1.0 - f, frozen_mask)
 
-    mu = tree_map(lambda m, g: b1 * m + (1 - b1) * g.astype(jnp.float32), state["mu"], grads)
+    count = tree_map(
+        lambda c, a: c + a.astype(jnp.int32), state["count"], live
+    )
+    mu = tree_map(
+        lambda m, g, a: m + a * ((1 - b1) * (g.astype(jnp.float32) - m)),
+        state["mu"], grads, live,
+    )
     nu = tree_map(
-        lambda v, g: b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32)),
-        state["nu"],
-        grads,
+        lambda v, g, a: v
+        + a * ((1 - b2) * (jnp.square(g.astype(jnp.float32)) - v)),
+        state["nu"], grads, live,
     )
 
-    def step(p, m, v, wm):
-        mhat = m / bc1
-        vhat = v / bc2
+    def step(p, m, v, wm, c, a):
+        cf = jnp.maximum(c, 1).astype(jnp.float32)  # avoid 0/0 while frozen
+        mhat = m / (1.0 - b1**cf)
+        vhat = v / (1.0 - b2**cf)
         upd = mhat / (jnp.sqrt(vhat) + eps) + weight_decay * wm * p.astype(jnp.float32)
-        return (p.astype(jnp.float32) - lr * upd).astype(p.dtype)
+        return (p.astype(jnp.float32) - a * lr * upd).astype(p.dtype)
 
-    new_params = tree_map(step, params, mu, nu, wd_mask_tree)
-    if frozen_mask is not None:
-        new_params = tree_map(
-            lambda new, old, f: new * (1.0 - f) + old * f, new_params, params, frozen_mask
-        )
+    new_params = tree_map(step, params, mu, nu, wd_mask_tree, count, live)
     return new_params, {"mu": mu, "nu": nu, "count": count}
 
 
@@ -163,18 +178,21 @@ def sgd_update(
     momentum: float = 0.9,
     frozen_mask: Optional[Params] = None,
 ) -> Tuple[Params, Dict[str, Any]]:
-    def mom(m, g, p, wm):
-        g = g.astype(jnp.float32) + weight_decay * wm * p.astype(jnp.float32)
-        return momentum * m + g
+    if frozen_mask is None:
+        live = tree_map(lambda x: jnp.ones((), jnp.float32), params)
+    else:
+        live = tree_map(lambda f: 1.0 - f, frozen_mask)
 
-    mu = tree_map(mom, state["mu"], grads, params, wd_mask_tree)
+    def mom(m, g, p, wm, a):
+        g = g.astype(jnp.float32) + weight_decay * wm * p.astype(jnp.float32)
+        # frozen (a=0): buffer untouched (torch skips grad-None params)
+        return m + a * (momentum * m + g - m)
+
+    mu = tree_map(mom, state["mu"], grads, params, wd_mask_tree, live)
     new_params = tree_map(
-        lambda p, m: (p.astype(jnp.float32) - lr * m).astype(p.dtype), params, mu
+        lambda p, m, a: (p.astype(jnp.float32) - a * lr * m).astype(p.dtype),
+        params, mu, live,
     )
-    if frozen_mask is not None:
-        new_params = tree_map(
-            lambda new, old, f: new * (1.0 - f) + old * f, new_params, params, frozen_mask
-        )
     return new_params, {"mu": mu}
 
 
@@ -213,15 +231,19 @@ def lars_update(
         # trust ratio applies only to regularized leaves (wm==1)
         return g32 * (wm * q + (1.0 - wm))
 
+    if frozen_mask is None:
+        live = tree_map(lambda x: jnp.ones((), jnp.float32), params)
+    else:
+        live = tree_map(lambda f: 1.0 - f, frozen_mask)
+
     adapted = tree_map(adapt, grads, params, wd_mask_tree)
-    mu = tree_map(lambda m, g: momentum * m + g, state["mu"], adapted)
-    new_params = tree_map(
-        lambda p, m: (p.astype(jnp.float32) - lr * m).astype(p.dtype), params, mu
+    mu = tree_map(
+        lambda m, g, a: m + a * (momentum * m + g - m), state["mu"], adapted, live
     )
-    if frozen_mask is not None:
-        new_params = tree_map(
-            lambda new, old, f: new * (1.0 - f) + old * f, new_params, params, frozen_mask
-        )
+    new_params = tree_map(
+        lambda p, m, a: (p.astype(jnp.float32) - a * lr * m).astype(p.dtype),
+        params, mu, live,
+    )
     return new_params, {"mu": mu}
 
 

@@ -19,6 +19,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 #include <csetjmp>
 #include <cmath>
 #include <algorithm>
@@ -114,6 +115,45 @@ bool decode_png(FILE* f, Image* out) {
   return true;
 }
 
+// ---------------------------------------------------------------- TIFF ----
+
+// SeCo-100K ships RGB GeoTIFFs (SURVEY.md §2.2, dino_dataset.py:16-30); the
+// reference decodes them with PIL/rasterio. libtiff's RGBA path handles
+// striped/tiled layouts and all baseline compressions; geo tags are ignored.
+// Multispectral >8-bit stacks stay on the Python rasterio-gated path.
+bool decode_tiff(const char* path, Image* out) {
+  TIFFSetWarningHandler(nullptr);  // geo tags trigger benign tag warnings
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return false;
+  uint32_t w = 0, h = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  if (w == 0 || h == 0) {
+    TIFFClose(tif);
+    return false;
+  }
+  std::vector<uint32_t> raster(size_t(w) * h);
+  // Top-left orientation delivers rows in the same order as JPEG/PNG.
+  if (!TIFFReadRGBAImageOriented(tif, w, h, raster.data(),
+                                 ORIENTATION_TOPLEFT, 0)) {
+    TIFFClose(tif);
+    return false;
+  }
+  TIFFClose(tif);
+  out->w = int(w);
+  out->h = int(h);
+  out->data.resize(size_t(w) * h * 3);
+  const uint32_t* src = raster.data();
+  uint8_t* dst = out->data.data();
+  for (size_t i = 0, n = size_t(w) * h; i < n; ++i) {
+    const uint32_t px = src[i];
+    dst[3 * i + 0] = TIFFGetR(px);
+    dst[3 * i + 1] = TIFFGetG(px);
+    dst[3 * i + 2] = TIFFGetB(px);
+  }
+  return true;
+}
+
 // -------------------------------------------------------------- decode ----
 
 bool decode_file(const char* path, Image* out) {
@@ -123,12 +163,16 @@ bool decode_file(const char* path, Image* out) {
   size_t got = fread(magic, 1, 8, f);
   rewind(f);
   bool ok = false;
+  bool is_tiff =
+      got >= 4 && ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42) ||
+                   (magic[0] == 'M' && magic[1] == 'M' && magic[3] == 42));
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
     ok = decode_jpeg(f, out);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
     ok = decode_png(f, out);
   }
   fclose(f);
+  if (is_tiff) ok = decode_tiff(path, out);
   return ok;
 }
 

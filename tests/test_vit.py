@@ -60,6 +60,35 @@ def test_pos_embed_identity_at_native_grid(tiny):
     np.testing.assert_array_equal(np.asarray(pe), np.asarray(params["pos_embed"]))
 
 
+# g_new == g0 is excluded below: both we and the reference early-exit to the
+# stored embedding at the native grid (vision_transformer.py:177-178).
+@pytest.mark.parametrize("g_new", [4, 11, 13, 14, 21, 27, 64])
+def test_pos_embed_interpolation_matches_torch(g_new):
+    """interpolate_pos_embed must reproduce the reference bit-for-bit-ish:
+    torch ``nn.functional.interpolate(mode='bicubic')`` with the
+    ``scale_factor=(g_new + 0.1)/g_old`` fudge (reference
+    ``utils/vision_transformer.py:174-194``), CLS position untouched."""
+    torch = pytest.importorskip("torch")
+    g0, dim = 28, 16
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((1, g0 * g0 + 1, dim)).astype(np.float32)
+
+    ours = np.asarray(vit.interpolate_pos_embed(jnp.asarray(pos), (g_new, g_new)))
+
+    patch = torch.from_numpy(pos[:, 1:]).reshape(1, g0, g0, dim).permute(0, 3, 1, 2)
+    ref = torch.nn.functional.interpolate(
+        patch, scale_factor=(g_new + 0.1) / g0, mode="bicubic"
+    )
+    assert ref.shape[-1] == g_new
+    ref = ref.permute(0, 2, 3, 1).reshape(1, g_new * g_new, dim).numpy()
+
+    np.testing.assert_array_equal(ours[:, :1], pos[:, :1])
+    # Our resize is two dense f32 matmuls, torch's is a separable
+    # gather-conv — same math, different reduction order (worst observed
+    # ~1e-5 rel on near-identity 28->27 where outputs mix large taps).
+    np.testing.assert_allclose(ours[:, 1:], ref, atol=1e-5, rtol=3e-5)
+
+
 def test_patchify_roundtrip():
     x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
     p = vit.patchify(x, 4)
