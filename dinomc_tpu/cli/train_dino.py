@@ -133,6 +133,7 @@ def train_dino(args) -> float:
         replicate,
         shard_dino_state,
     )
+    from dinomc_tpu.data import packed
     from dinomc_tpu.data.loader import PrefetchLoader, ShardedSampler
     from dinomc_tpu.data.seco import FlatImageFolder, MCBase, MCTemporal
     from dinomc_tpu.ops.augment import (
@@ -172,6 +173,14 @@ def train_dino(args) -> float:
         dataset = _SyntheticImages(
             max(args.batch_size_per_gpu * n_devices * 4, 64), args.image_size, temporal
         )
+    elif packed.is_packed(args.data_path):
+        # decode-once packed shards (data/packed.py): mmap reads, uint8 to
+        # the device, f32 conversion fused into the on-device aug chain —
+        # the production host path for feeding 8 chips (docs/performance.md)
+        if temporal:
+            dataset = packed.PackedMCTemporal(args.data_path, seed=args.seed)
+        else:
+            dataset = packed.PackedMC(args.data_path, seed=args.seed)
     elif temporal:
         dataset = MCTemporal(args.data_path, image_size=args.image_size)
     else:

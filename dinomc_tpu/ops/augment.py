@@ -26,7 +26,11 @@ DINO-MC composition (``dino_augmentation.py:24-52``):
 All probabilistic ops compute both branches and select with a per-sample
 mask (`jnp.where`) — the XLA-idiomatic form of RandomApply.
 
-Images are float32 NHWC in [0, 1].
+Images are float32 NHWC in [0, 1]. The two batch entry points
+(``multicrop_augment`` / ``multicrop_augment_tp``) also accept uint8 NHWC
+and convert to f32/255 on device as the first op — the packed-shard loader
+(``data/packed.py``) ships uint8 across PCIe for 4x less host->device
+traffic.
 """
 
 from __future__ import annotations
@@ -359,8 +363,12 @@ def multicrop_augment(
     """images (B, H, W, 3) in [0,1] -> (globals (2, B, S, S, 3), locals tuple).
 
     One call produces the full 2-global + N-multi-size-local view set of
-    ``DataAugColorMulticrop`` for the whole batch on device.
+    ``DataAugColorMulticrop`` for the whole batch on device. uint8 input
+    (the packed-shard loader's wire format) is converted to f32/255 here,
+    inside the jit.
     """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     keys = jax.random.split(rng, 2 + len(cfg.local_sizes))
     g0 = _global_crop(keys[0], images, cfg, 0)
     g1 = _global_crop(keys[1], images, cfg, 1)
@@ -407,6 +415,8 @@ def multicrop_augment_tp(
     [aug(t1), t2, aug(t0)] — photometric augment on views 1 and 3 — each
     RandomResizedCrop(224); locals are N multi-size crops of the raw t0;
     the crop transforms themselves add no color aug."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     if batch_first:
         images = jnp.moveaxis(images, 1, 0)
     keys = jax.random.split(rng, 5 + len(cfg.local_sizes))

@@ -10,11 +10,18 @@ prints one JSON line per measurement:
 
   * ``decode_native_tN``  — raw C++ decode_batch at N threads
   * ``decode_pil``        — PIL open+convert+resize, single thread
+  * ``decode_tiff_*``     — same file set as TIFF (SeCo's native format):
+                            native libtiff path vs PIL fallback
   * ``loader_sustained``  — PrefetchLoader end-to-end feed rate (decode ->
                             collate -> device_put), no consumer back-pressure
   * ``loader_overlapped`` — same, consumer simulating a busy accelerator
                             (sleep = B / target img/s per batch): measures
                             whether prefetch hides host IO behind the step
+  * ``packed_*``          — the decode-once packed-shard path
+                            (data/packed.py): raw mmap batch-assembly rate,
+                            loader-sustained rate, and the overlapped run
+                            against an 8-chip demand (--pod_target) —
+                            the production v5e-8 host budget
 
 Run: python scripts/bench_input.py [--n 512] [--src 264] [--out 256] [--batch 24]
 """
@@ -61,6 +68,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--target", type=float, default=108.0,
                     help="chip demand (img/s) the overlapped run simulates")
+    ap.add_argument("--pod_target", type=float, default=111.0 * 8,
+                    help="v5e-8 host demand (img/s) for the packed runs")
     args = ap.parse_args()
 
     from dinomc_tpu.data import native_loader
@@ -136,9 +145,77 @@ def main() -> int:
     emit("loader_overlapped", seen / dt, batch=args.batch,
          target=args.target, exposed_host_frac=round(max(dt - ideal, 0) / dt, 3))
 
-    for p in paths:
+    # --- TIFF decode (SeCo's native format) -------------------------------
+    from PIL import Image as PILImage
+
+    tif_paths = []
+    for i, p in enumerate(paths[: min(args.n, 256)]):
+        with PILImage.open(p) as im:
+            tp = p[:-4] + ".tif"
+            im.save(tp)  # uncompressed striped TIFF
+            tif_paths.append(tp)
+    if native_loader.available():
+        native_loader.decode_batch(tif_paths[:16], args.out, args.out, 8)
+        t0 = time.perf_counter()
+        out = native_loader.decode_batch(tif_paths, args.out, args.out, 8)
+        dt = time.perf_counter() - t0
+        if out is not None:
+            emit("decode_tiff_native_t8", len(tif_paths) / dt)
+    t0 = time.perf_counter()
+    for p in tif_paths:
+        with PILImage.open(p) as im:
+            np.asarray(im.convert("RGB").resize((args.out, args.out),
+                                                PILImage.BICUBIC))
+    emit("decode_tiff_pil", len(tif_paths) / (time.perf_counter() - t0))
+    for p in tif_paths:
         os.unlink(p)
-    os.rmdir(tmp)
+
+    # --- packed-shard path -------------------------------------------------
+    from dinomc_tpu.data import packed
+
+    pk_dir = os.path.join(tmp, "packed")
+    t0 = time.perf_counter()
+    packed.pack_dataset(tmp, pk_dir, size=args.out)
+    emit("pack_convert", args.n / (time.perf_counter() - t0))
+
+    reader = packed.PackedReader(pk_dir)
+    ids = np.arange(len(reader))
+    # raw mmap batch assembly (decode-free host work at train time)
+    reader.batch(ids[: args.batch])  # touch pages once
+    t0 = time.perf_counter()
+    for s in range(0, len(ids) - args.batch + 1, args.batch):
+        reader.batch(ids[s : s + args.batch])
+    n_read = (len(ids) // args.batch) * args.batch
+    emit("packed_assembly", n_read / (time.perf_counter() - t0))
+
+    ds = packed.PackedFlat(pk_dir)  # uint8 items: conversion happens on device
+
+    def run_packed(step_time: float, epochs: int = 4):
+        sampler = ShardedSampler(len(ds), args.batch, shuffle=True)
+        loader = PrefetchLoader(ds, sampler, sharding=sharding,
+                                prefetch=2, num_threads=8)
+        seen, t0 = 0, time.perf_counter()
+        for _ in range(epochs):
+            for batch in loader:
+                seen += batch.shape[0]
+                if step_time:
+                    time.sleep(step_time)
+        return seen, time.perf_counter() - t0
+
+    seen, dt = run_packed(0.0)
+    emit("packed_sustained", seen / dt, batch=args.batch)
+
+    # v5e-8: one host feeds 8 chips; global batch = 8x per-chip batch
+    pod_batch_time = args.batch / args.pod_target
+    seen, dt = run_packed(pod_batch_time)
+    ideal = (seen / args.batch) * pod_batch_time
+    emit("packed_overlapped_pod", seen / dt, batch=args.batch,
+         target=args.pod_target,
+         exposed_host_frac=round(max(dt - ideal, 0) / dt, 3))
+
+    import shutil
+
+    shutil.rmtree(tmp)
     return 0
 
 
