@@ -71,6 +71,14 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="SeCo-style root dir, or 'synthetic' for a smoke run")
     p.add_argument("--image_size", default=256, type=int,
                    help="host-side decode/resize resolution before device aug")
+    p.add_argument("--bands", default=None, type=str, nargs="+",
+                   help="multispectral pretraining: Sentinel-2 band names "
+                        "(e.g. --bands B4 B3 B2) read from multi-band tifs "
+                        "or per-band {B}.tif directories with per-band "
+                        "quantile normalization (reference main_dino_mc.py "
+                        "--bands / dino_dataset.py:69-87). Exactly 3 bands "
+                        "(the aug chain is defined on 3 channels, as the "
+                        "reference's is); default = plain RGB decode")
     p.add_argument("--output_dir", default="output_dir", type=str)
     p.add_argument("--saveckp_freq", default=20, type=int)
     p.add_argument("--seed", default=0, type=int)
@@ -169,6 +177,13 @@ def train_dino(args) -> float:
     temporal = args.data_mode == "tp"
 
     # ---- data -------------------------------------------------------------
+    bands = getattr(args, "bands", None)
+    if bands is not None:
+        assert len(bands) == 3, (
+            f"--bands takes exactly 3 band names (got {bands}): the "
+            "augmentation chain (color jitter/grayscale/solarize) is "
+            "defined on 3 channels, as the reference's RGB transforms are"
+        )
     if args.data_path == "synthetic":
         dataset = _SyntheticImages(
             max(args.batch_size_per_gpu * n_devices * 4, 64), args.image_size, temporal
@@ -182,10 +197,14 @@ def train_dino(args) -> float:
         else:
             dataset = packed.PackedMC(args.data_path, seed=args.seed)
     elif temporal:
-        dataset = MCTemporal(args.data_path, image_size=args.image_size)
+        dataset = MCTemporal(
+            args.data_path, image_size=args.image_size, bands=bands
+        )
     else:
         try:
-            dataset = MCBase(args.data_path, image_size=args.image_size)
+            dataset = MCBase(
+                args.data_path, image_size=args.image_size, bands=bands
+            )
             if len(dataset) == 0:
                 raise FileNotFoundError
         except (FileNotFoundError, NotADirectoryError):

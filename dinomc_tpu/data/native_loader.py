@@ -60,6 +60,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.imgloader_band_size.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.imgloader_band_size.restype = ctypes.c_int
+    lib.imgloader_read_band.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.imgloader_read_band.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -99,6 +108,25 @@ def decode_batch(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out if failures == 0 else None
+
+
+def read_band(path: str, band: int = 1) -> Optional[np.ndarray]:
+    """Read one band (1-indexed) of a TIFF as raw float32 DN values
+    (H, W) — the rasterio-free multispectral path (Sentinel-2 uint16
+    GeoTIFFs; reference reads these with ``rasterio.open(p).read(b)``,
+    ``dino_dataset.py:73-87``). None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.imgloader_band_size(path.encode(), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    out = np.empty((h.value, w.value), np.float32)
+    rc = lib.imgloader_read_band(
+        path.encode(), band, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.size,
+    )
+    return out if rc == 0 else None
 
 
 def grid_crop(img: np.ndarray, rows: int, cols: int) -> Optional[np.ndarray]:

@@ -38,45 +38,93 @@ def _normalize_band(band: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return np.clip(band, 0, 255).astype(np.uint8)
 
 
-def read_image(path: str, bands: Sequence[str] = RGB_BANDS, size: Optional[int] = None) -> np.ndarray:
-    """Read one image -> float32 [0,1] (H, W, 3).
+def _read_raw_band(path: str, band: int = 1) -> np.ndarray:
+    """One band of a TIFF as raw float32 DN values (H, W): rasterio when
+    installed, else the native libtiff reader (``native_loader.read_band``),
+    else PIL. Raises on total failure."""
+    try:
+        import rasterio  # optional
 
-    RGB files via PIL; ``.tif`` with band structure via rasterio if
-    available (multispectral Sentinel-2 path), else PIL fallback.
-    """
+        with rasterio.open(path) as src:
+            return src.read(band).astype(np.float32)
+    except ImportError:
+        pass
+    from dinomc_tpu.data import native_loader
+
+    out = native_loader.read_band(path, band)
+    if out is not None:
+        return out
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path))
+    if arr.ndim == 3:
+        arr = arr[:, :, band - 1]
+    return arr.astype(np.float32)
+
+
+def read_bands(path: str, bands: Sequence[str]) -> np.ndarray:
+    """Multispectral read -> (H, W, len(bands)) uint8 via per-band quantile
+    normalization (reference ``read_image``/``normalize``,
+    ``dino_dataset.py:69-87``; SeCo semantics).
+
+    ``path`` is either one multi-band file (bands indexed by their position
+    in ``bands``) or a directory holding one ``{B}.tif`` per band (the
+    upstream SeCo layout, visible in the reference's commented-out
+    ``path / f'{b}.tif'`` line, ``dino_dataset.py:82``)."""
+    chans = []
+    for i, b in enumerate(bands):
+        if os.path.isdir(path):
+            raw = _read_raw_band(os.path.join(path, f"{b}.tif"), 1)
+        else:
+            raw = _read_raw_band(path, i + 1)
+        lo, hi = QUANTILES.get(b, (float(raw.min()), float(raw.max())))
+        chans.append(_normalize_band(raw, lo, hi))
+    return np.stack(chans, axis=-1)
+
+
+def read_image(
+    path: str,
+    bands: Optional[Sequence[str]] = None,
+    size: Optional[int] = None,
+) -> np.ndarray:
+    """Read one image -> float32 [0,1] (H, W, len(bands) or 3).
+
+    ``bands=None`` (the default, = the reference's ``'RGB_BANDS'`` token)
+    reads the file as plain RGB — native C++ decode (JPEG/PNG/TIFF) with
+    fused resize, PIL fallback. An explicit band list goes through raw-DN
+    quantile normalization (``read_bands``) — the multispectral
+    Sentinel-2 path, rasterio-optional."""
     p = str(path)
-    if size is not None and p.lower().endswith((".png", ".jpg", ".jpeg")):
-        # native C++ decode+resize fast path (see data/native_loader.py)
+    if bands is not None:
+        img = read_bands(p, bands)
+    else:
         from dinomc_tpu.data import native_loader
 
-        if native_loader.available():
-            out = native_loader.decode(p, size, size)
-            if out is not None:
-                return out.astype(np.float32) / 255.0
-    if p.lower().endswith((".tif", ".tiff")):
-        try:
-            import rasterio  # optional
-
-            with rasterio.open(p) as src:
-                if src.count >= 3 and bands == RGB_BANDS:
-                    chans = []
-                    for i, b in enumerate(bands):
-                        raw = src.read(i + 1).astype(np.float32)
-                        lo, hi = QUANTILES.get(b, (raw.min(), raw.max()))
-                        chans.append(_normalize_band(raw, lo, hi))
-                    img = np.stack(chans, axis=-1)
-                else:
-                    img = np.moveaxis(src.read()[:3], 0, -1).astype(np.uint8)
-        except ImportError:
+        img = None
+        if size is not None and native_loader.available():
+            # native C++ decode+resize fast path (JPEG/PNG/TIFF)
+            img = native_loader.decode(p, size, size)
+        if img is None:
             img = _pil_read(p)
-    else:
-        img = _pil_read(p)
     if size is not None and img.shape[:2] != (size, size):
         from PIL import Image
 
-        img = np.asarray(
-            Image.fromarray(img).resize((size, size), Image.BICUBIC)
-        )
+        if img.shape[-1] == 3:
+            img = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BICUBIC)
+            )
+        else:  # per-channel resize for non-RGB channel counts
+            img = np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(img[:, :, c]).resize(
+                            (size, size), Image.BICUBIC
+                        )
+                    )
+                    for c in range(img.shape[-1])
+                ],
+                axis=-1,
+            )
     return img.astype(np.float32) / 255.0
 
 
@@ -90,16 +138,27 @@ class MCBase:
     """One-random-image-per-location dataset (``MCBase``,
     ``dino_dataset.py:32-66``)."""
 
-    def __init__(self, root: str, image_size: int = 256, seed: int = 0):
+    def __init__(
+        self,
+        root: str,
+        image_size: int = 256,
+        seed: int = 0,
+        bands: Optional[Sequence[str]] = None,
+    ):
         self.root = root
         self.image_size = image_size
+        self.bands = bands
         rng = np.random.RandomState(seed)
         self.samples: List[str] = []
         for loc in sorted(Path(root).iterdir()):
             if not loc.is_dir():
                 continue
             files = sorted(
-                str(f) for f in loc.iterdir() if f.suffix.lower() in _IMG_EXTS
+                str(f) for f in loc.iterdir()
+                if f.suffix.lower() in _IMG_EXTS
+                # bands mode also accepts per-timestamp DIRECTORIES holding
+                # one {B}.tif per band (SeCo's upstream layout)
+                or (bands is not None and f.is_dir())
             )
             if files:
                 # one random timestamp per location, fixed at construction
@@ -109,7 +168,7 @@ class MCBase:
         return len(self.samples)
 
     def __getitem__(self, i: int) -> np.ndarray:
-        return read_image(self.samples[i], size=self.image_size)
+        return read_image(self.samples[i], bands=self.bands, size=self.image_size)
 
 
 class MCTemporal:
@@ -117,14 +176,23 @@ class MCTemporal:
     each item is (4, H, W, 3) = [base, t1, t2, t3] sampled with replacement
     from the location's timestamps."""
 
-    def __init__(self, root: str, image_size: int = 256, seed: int = 0):
+    def __init__(
+        self,
+        root: str,
+        image_size: int = 256,
+        seed: int = 0,
+        bands: Optional[Sequence[str]] = None,
+    ):
         self.image_size = image_size
+        self.bands = bands
         self.locations: List[List[str]] = []
         for loc in sorted(Path(root).iterdir()):
             if not loc.is_dir():
                 continue
             files = sorted(
-                str(f) for f in loc.iterdir() if f.suffix.lower() in _IMG_EXTS
+                str(f) for f in loc.iterdir()
+                if f.suffix.lower() in _IMG_EXTS
+                or (bands is not None and f.is_dir())
             )
             if files:
                 self.locations.append(files)
@@ -139,7 +207,10 @@ class MCTemporal:
     def __getitem__(self, i: int) -> np.ndarray:
         files = self.locations[i]
         picks = self._rng.randint(len(files), size=3)
-        t0, t1, t2 = (read_image(files[j], size=self.image_size) for j in picks)
+        t0, t1, t2 = (
+            read_image(files[j], bands=self.bands, size=self.image_size)
+            for j in picks
+        )
         return np.stack([t0, t1, t2, t0], axis=0)
 
 

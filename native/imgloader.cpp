@@ -154,6 +154,102 @@ bool decode_tiff(const char* path, Image* out) {
   return true;
 }
 
+// Raw single-band read (multispectral path): Sentinel-2 band files are
+// uint16 single-sample GeoTIFFs; the reference reads them with rasterio
+// (dino_dataset.py:73-87). Returns raw DN values as float32, no scaling.
+// Handles striped + tiled layouts, 8/16/32-bit unsigned/float samples,
+// contiguous or separate planar config. band is 1-indexed.
+bool read_band_f32(const char* path, int band, std::vector<float>* out,
+                   int* w_out, int* h_out) {
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return false;
+  uint32_t w = 0, h = 0;
+  uint16_t spp = 1, bps = 8, fmt = SAMPLEFORMAT_UINT, planar = PLANARCONFIG_CONTIG;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  if (w == 0 || h == 0 || band < 1 || band > spp ||
+      (bps != 8 && bps != 16 && bps != 32) ||
+      (fmt != SAMPLEFORMAT_UINT && fmt != SAMPLEFORMAT_INT &&
+       fmt != SAMPLEFORMAT_IEEEFP)) {
+    TIFFClose(tif);
+    return false;
+  }
+  out->assign(size_t(w) * h, 0.f);
+  const int b = band - 1;
+  const size_t bytes_per = bps / 8;
+
+  auto to_f32 = [&](const uint8_t* src, size_t n_px, size_t stride_samples,
+                    float* dst) {
+    // src points at the first sample of the wanted band; stride in samples
+    for (size_t i = 0; i < n_px; ++i) {
+      const uint8_t* p = src + i * stride_samples * bytes_per;
+      float v;
+      if (bps == 8) {
+        v = fmt == SAMPLEFORMAT_INT ? float(*reinterpret_cast<const int8_t*>(p))
+                                    : float(*p);
+      } else if (bps == 16) {
+        v = fmt == SAMPLEFORMAT_INT
+                ? float(*reinterpret_cast<const int16_t*>(p))
+                : float(*reinterpret_cast<const uint16_t*>(p));
+      } else {
+        v = fmt == SAMPLEFORMAT_IEEEFP
+                ? *reinterpret_cast<const float*>(p)
+                : (fmt == SAMPLEFORMAT_INT
+                       ? float(*reinterpret_cast<const int32_t*>(p))
+                       : float(*reinterpret_cast<const uint32_t*>(p)));
+      }
+      dst[i] = v;
+    }
+  };
+
+  const size_t samp_stride = planar == PLANARCONFIG_CONTIG ? spp : 1;
+  bool ok = true;
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    std::vector<uint8_t> tile(TIFFTileSize(tif));
+    for (uint32_t y0 = 0; y0 < h && ok; y0 += th) {
+      for (uint32_t x0 = 0; x0 < w && ok; x0 += tw) {
+        const uint16_t plane = planar == PLANARCONFIG_CONTIG ? 0 : b;
+        if (TIFFReadTile(tif, tile.data(), x0, y0, 0, plane) < 0) {
+          ok = false;
+          break;
+        }
+        const size_t off0 = planar == PLANARCONFIG_CONTIG ? size_t(b) : 0;
+        for (uint32_t ty = 0; ty < th && y0 + ty < h; ++ty) {
+          const uint32_t n_px = std::min(tw, w - x0);
+          to_f32(tile.data() + (size_t(ty) * tw * samp_stride + off0) * bytes_per,
+                 n_px, samp_stride, out->data() + size_t(y0 + ty) * w + x0);
+        }
+      }
+    }
+  } else {
+    std::vector<uint8_t> row(TIFFScanlineSize(tif));
+    const uint16_t plane = planar == PLANARCONFIG_CONTIG ? 0 : b;
+    const size_t off0 = planar == PLANARCONFIG_CONTIG ? size_t(b) : 0;
+    for (uint32_t y = 0; y < h; ++y) {
+      if (TIFFReadScanline(tif, row.data(), y, plane) < 0) {
+        ok = false;
+        break;
+      }
+      to_f32(row.data() + off0 * bytes_per, w, samp_stride,
+             out->data() + size_t(y) * w);
+    }
+  }
+  TIFFClose(tif);
+  if (ok) {
+    *w_out = int(w);
+    *h_out = int(h);
+  }
+  return ok;
+}
+
 // -------------------------------------------------------------- decode ----
 
 bool decode_file(const char* path, Image* out) {
@@ -301,6 +397,34 @@ int imgloader_decode_batch(const char** paths, int n, uint8_t* out, int out_h,
   int failures = 0;
   for (int i = 0; i < n; ++i) failures += (status[i] != 0);
   return failures;
+}
+
+// Query a TIFF band's dimensions (w, h). Returns 0 on success.
+int imgloader_band_size(const char* path, int* w, int* h) {
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return 1;
+  uint32_t tw = 0, th = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &tw);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &th);
+  TIFFClose(tif);
+  if (tw == 0 || th == 0) return 1;
+  *w = int(tw);
+  *h = int(th);
+  return 0;
+}
+
+// Read one band (1-indexed) of a TIFF as raw float32 DN values into out,
+// which must hold capacity floats (>= w*h from imgloader_band_size).
+// Returns 0 on success.
+int imgloader_read_band(const char* path, int band, float* out,
+                        int64_t capacity) {
+  std::vector<float> buf;
+  int w = 0, h = 0;
+  if (!read_band_f32(path, band, &buf, &w, &h)) return 1;
+  if (int64_t(buf.size()) > capacity) return 2;
+  memcpy(out, buf.data(), buf.size() * sizeof(float));
+  return 0;
 }
 
 // Native grid crop: split an RGB8 image (h, w) into rows*cols equal tiles

@@ -79,6 +79,78 @@ def test_train_dino_cli_temporal(tmp_path):
     assert loss == loss
 
 
+def test_train_dino_cli_bands(tmp_path):
+    """Multispectral pretraining: --bands B4 B3 B2 over a SeCo-layout tree
+    of uint16 per-band tifs (reference main_dino_mc.py --bands; data path
+    dino_dataset.py:69-87), end to end through the jitted step."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    # >= 8 locations: the test mesh has 8 virtual devices, so the global
+    # batch is 8 and a smaller corpus yields zero full batches
+    data = tmp_path / "seco"
+    rng = np.random.RandomState(0)
+    for loc in range(8):
+        for t in range(2):
+            d = data / f"{loc:03d}" / f"t{t}"
+            os.makedirs(d)
+            for b in ("B2", "B3", "B4"):
+                Image.fromarray(
+                    rng.randint(0, 160, (128, 128)).astype(np.uint16), mode="I;16"
+                ).save(d / f"{b}.tif")
+
+    from dinomc_tpu.cli import train_dino as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, out_dim=128,
+        batch_size_per_gpu=1, epochs=1, max_steps=1,
+        local_crops_number=2, size_crops=[96, 64],
+        warmup_epochs=0, output_dir=str(tmp_path / "out"),
+        image_size=128, print_freq=1, num_workers=0,
+        data_path=str(data), bands=["B4", "B3", "B2"],
+    ))
+    loss = mod.train_dino(args)
+    assert loss == loss
+
+
+def test_train_dino_cli_packed(tmp_path):
+    """Packed-shard data path: pack a tiny PNG tree, train from the packed
+    dir (uint8 to device, f32 conversion inside the augment jit)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from dinomc_tpu.data.packed import pack_dataset
+
+    src = tmp_path / "src"
+    rng = np.random.RandomState(0)
+    for loc in range(8):  # 8 groups >= the 8-device global batch
+        d = src / f"loc{loc}"
+        os.makedirs(d)
+        for t in range(2):
+            Image.fromarray(
+                rng.randint(0, 255, (128, 128, 3), np.uint8)
+            ).save(d / f"t{t}.png")
+    pk = tmp_path / "packed"
+    pack_dataset(str(src), str(pk), size=128)
+
+    from dinomc_tpu.cli import train_dino as mod
+
+    args = _args(mod, dict(
+        arch="vit_tiny", patch_size=16, out_dim=128,
+        batch_size_per_gpu=1, epochs=1, max_steps=1,
+        local_crops_number=2, size_crops=[96, 64],
+        warmup_epochs=0, output_dir=str(tmp_path / "out"),
+        image_size=128, print_freq=1, num_workers=0,
+        data_path=str(pk),
+    ))
+    loss = mod.train_dino(args)
+    assert loss == loss
+
+
 def test_train_dino_cli_grad_accum(tmp_path):
     """Gradient accumulation: 2 microbatches per optimizer step."""
     from dinomc_tpu.cli import train_dino as mod
