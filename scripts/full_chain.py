@@ -1,0 +1,219 @@
+"""Full-chain quality run: the reference's ENTIRE workflow as one command.
+
+Reproduces, on synthetic texture worlds (no datasets in the container):
+
+    pretrain (cli/train_dino, DINO-MC)                main_dino_mc.py
+      -> export teacher backbone .pth (cli/convert_ckpt)
+      -> decoder-only seg fine-tune from that .pth    train_dino_mc_seg.py
+         (cli/train_seg, torch-import path networks.py:196-203)
+      -> tiled inference + logit stitch + full-res    inference_*_patched
+         mIoU (cli/evaluate_stitched)                 + evaluate.py
+
+and proves QUALITY, not just wiring: the same decoder-only fine-tune is
+also run from a RANDOM frozen backbone; the pretrained chain must beat the
+random-init control by a clear margin AND clear an absolute mIoU bar.
+Scene classes are texture families (dinomc_tpu/utils/synthetic.py), so
+only a backbone that learned texture identity during SSL can segment them
+through a frozen encoder.
+
+Run (defaults sized for one TPU chip, ~15 min):
+    python scripts/full_chain.py
+Fast wiring check (CPU, exercised by tests/test_full_chain.py):
+    python scripts/full_chain.py --pretrain_steps 2 --seg_epochs 1 \
+        --scenes 2 --corpus 16 --arch vit_tiny --patch_size 16 --smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
+                seed: int = 0) -> None:
+    """Write the synthetic world: pretrain corpus + seg train/val/test."""
+    from PIL import Image
+
+    from dinomc_tpu.data.seg_datasets import SPECS, class_to_rgb
+    from dinomc_tpu.utils.synthetic import colorize, make_seg_scene, texture
+
+    spec = SPECS["uavid"]
+    rng = np.random.RandomState(seed)
+
+    # pretrain corpus: one location dir per image (MCBase = 1 img/location)
+    corpus = os.path.join(root, "corpus")
+    for i in range(corpus_n):
+        d = os.path.join(corpus, f"{i:05d}")
+        os.makedirs(d, exist_ok=True)
+        img = colorize(texture(i % 8, 128, rng), rng)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(d, "t0.png")
+        )
+
+    # seg splits: Voronoi texture scenes, palette-coded masks (UAVid spec).
+    # train/val hold the 2x2 PATCHES of each full scene — the reference's
+    # patched workflow (patch_cropper -> train on patch_4), so training and
+    # stitched-eval tiles share one scale/statistics; test holds the full
+    # scenes the stitched eval re-tiles.
+    for split, k in (("train", scenes), ("val", max(scenes // 4, 1)),
+                     ("test", max(scenes // 4, 1))):
+        for sub in ("images", "masks"):
+            os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+        half = scene_size // 2
+        for i in range(k):
+            img, mask = make_seg_scene(scene_size, rng)
+            if split == "test":
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(root, split, "images", f"s{i:04d}.png")
+                )
+                Image.fromarray(class_to_rgb(mask, spec)).save(
+                    os.path.join(root, split, "masks", f"s{i:04d}.png")
+                )
+                continue
+            for r in range(2):
+                for c in range(2):
+                    sl = (slice(r * half, (r + 1) * half),
+                          slice(c * half, (c + 1) * half))
+                    stem = f"s{i:04d}_p{r}{c}.png"
+                    Image.fromarray((img[sl] * 255).astype(np.uint8)).save(
+                        os.path.join(root, split, "images", stem)
+                    )
+                    Image.fromarray(class_to_rgb(mask[sl], spec)).save(
+                        os.path.join(root, split, "masks", stem)
+                    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="", type=str)
+    ap.add_argument("--arch", default="vit_tiny", type=str)
+    ap.add_argument("--patch_size", default=16, type=int)
+    ap.add_argument("--pretrain_steps", default=4000, type=int)
+    ap.add_argument("--pretrain_batch", default=64, type=int)
+    ap.add_argument("--seg_epochs", default=10, type=int)
+    ap.add_argument("--seg_image_size", default=224, type=int)
+    ap.add_argument("--corpus", default=512, type=int,
+                    help="pretrain corpus size (images)")
+    ap.add_argument("--scenes", default=48, type=int,
+                    help="seg training scenes")
+    ap.add_argument("--scene_size", default=448, type=int,
+                    help="full-res scene size (tiled 2x2 at eval)")
+    ap.add_argument("--miou_bar", default=0.35, type=float,
+                    help="absolute stitched-mIoU bar for the pretrained "
+                         "chain (8-class chance ~= per-class prior)")
+    ap.add_argument("--margin", default=0.05, type=float,
+                    help="required mIoU margin over the random-init control")
+    ap.add_argument("--smoke", action="store_true",
+                    help="wiring check only: skip the quality assertions")
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="full_chain_")
+    os.makedirs(work, exist_ok=True)
+    print(f"workdir: {work}", flush=True)
+    t00 = time.time()
+
+    # ------------------------------------------------------------ world --
+    build_world(work, args.corpus, args.scenes, args.scene_size)
+
+    def _args(mod, overrides):
+        a = mod.get_args_parser().parse_args([])
+        for k, v in overrides.items():
+            assert hasattr(a, k), f"unknown arg {k}"
+            setattr(a, k, v)
+        return a
+
+    # --------------------------------------------------------- pretrain --
+    from dinomc_tpu.cli import train_dino
+
+    epochs = max(args.pretrain_steps * args.pretrain_batch // args.corpus, 1)
+    dino_out = os.path.join(work, "dino")
+    loss = train_dino.train_dino(_args(train_dino, dict(
+        arch=args.arch, patch_size=args.patch_size, out_dim=1024,
+        batch_size_per_gpu=args.pretrain_batch, epochs=epochs,
+        max_steps=args.pretrain_steps, warmup_epochs=max(epochs // 20, 1),
+        warmup_teacher_temp_epochs=max(epochs // 3, 1),
+        local_crops_number=2, size_crops=[64, 48],
+        global_crops_scale=(0.4, 1.0), local_crops_scale=(0.1, 0.4),
+        momentum_teacher=0.99,  # small-batch EMA rate (validate_learning)
+        lr=4e-3,  # -> ~1e-3 effective after linear bs/256 scaling at bs 64
+        data_path=os.path.join(work, "corpus"), image_size=128,
+        output_dir=dino_out, print_freq=50, num_workers=2, saveckp_freq=0,
+    )))
+    assert np.isfinite(loss), f"pretrain diverged: {loss}"
+    print(f"[1/4] pretrain done: loss {loss:.3f} ({time.time()-t00:.0f}s)",
+          flush=True)
+
+    # ------------------------------------- export teacher backbone .pth --
+    from dinomc_tpu.cli import convert_ckpt
+
+    pth = os.path.join(work, "teacher.pth")
+    convert_ckpt.run(convert_ckpt.get_args_parser().parse_args([
+        "--ckpt", os.path.join(dino_out, "checkpoints"),
+        "--arch", args.arch, "--what", "backbone", "--source", "teacher",
+        "--out", pth,
+    ]))
+    print(f"[2/4] exported {pth}", flush=True)
+
+    # ------------------------------------------- seg fine-tune (decoder) --
+    from dinomc_tpu.cli import train_seg
+
+    def run_seg(tag: str, ckpt: str) -> float:
+        out = os.path.join(work, f"seg_{tag}")
+        miou = train_seg.train_seg(_args(train_seg, dict(
+            dataset="uavid", data_root=work, arch=args.arch,
+            patch_size=args.patch_size, image_size=args.seg_image_size,
+            pretrained_ckpt=ckpt, epochs=args.seg_epochs,
+            batch_size=4, output_dir=out, print_freq=50,
+        )))
+        return miou
+
+    miou_pre = run_seg("pretrained", pth)
+    print(f"[3/4] decoder-only fine-tune (pretrained): val mIoU "
+          f"{miou_pre:.4f} ({time.time()-t00:.0f}s)", flush=True)
+    miou_rand = run_seg("random", "")
+    print(f"      decoder-only fine-tune (random-init control): val mIoU "
+          f"{miou_rand:.4f}", flush=True)
+
+    # ---------------------------------- tiled inference + stitched eval --
+    from dinomc_tpu.cli import evaluate_stitched
+
+    scores = evaluate_stitched.run(_args(evaluate_stitched, dict(
+        dataset="uavid", data_root=os.path.join(work, "test"),
+        ckpt=os.path.join(work, "seg_pretrained", "checkpoints"),
+        arch=args.arch, patch_size=args.patch_size,
+        model_size=args.seg_image_size, grid=[2, 2],
+    )))
+    miou_stitched = scores["miou"]
+    print(f"[4/4] stitched full-res mIoU (pretrained chain): "
+          f"{miou_stitched:.4f}", flush=True)
+
+    result = {
+        "metric": "full_chain_stitched_miou",
+        "value": round(miou_stitched, 4),
+        "unit": "mIoU",
+        "val_miou_pretrained": round(miou_pre, 4),
+        "val_miou_random_control": round(miou_rand, 4),
+        "pretrain_loss": round(float(loss), 4),
+        "seconds": round(time.time() - t00, 1),
+    }
+    print(json.dumps(result), flush=True)
+    with open(os.path.join(work, "full_chain.json"), "w") as f:
+        json.dump(result, f)
+
+    if args.smoke:
+        return 0
+    ok = (miou_stitched >= args.miou_bar
+          and miou_pre >= miou_rand + args.margin)
+    print("QUALITY CHAIN OK" if ok else
+          f"QUALITY CHAIN FAILED (bar {args.miou_bar}, margin {args.margin})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

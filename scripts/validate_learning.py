@@ -21,62 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_dataset(n_per_class=64, size=128, num_classes=8, seed=0):
-    """Class = texture TYPE (stripes / checker / dots / rings / starburst /
-    blobs / speckle / crosshatch) — a structural signal that SURVIVES the
-    DINO augmentations. Orientation, scale, phase, color, brightness and
-    noise are per-image nuisances (classes defined by orientation or
-    absolute frequency would be destroyed by flips and zoom crops — DINO
-    correctly learns invariance to those)."""
-    rng = np.random.RandomState(seed)
-    xs, ys = [], []
-    yy, xx = np.mgrid[0:size, 0:size] / size - 0.5
+    """Class = texture TYPE (dinomc_tpu/utils/synthetic.py) — a structural
+    signal that SURVIVES the DINO augmentations; orientation, scale, phase,
+    color, brightness and noise are per-image nuisances."""
+    from dinomc_tpu.utils.synthetic import make_texture_dataset
 
-    def stripes(f, a, p):
-        return 0.5 + 0.5 * np.sin(2 * np.pi * f * (np.cos(a) * xx + np.sin(a) * yy) + p)
-
-    def gen(c, f, a, p, rloc):
-        u = np.cos(a) * xx + np.sin(a) * yy
-        v = -np.sin(a) * xx + np.cos(a) * yy
-        r = np.sqrt((xx - rloc[0]) ** 2 + (yy - rloc[1]) ** 2)
-        if c == 0:  # stripes
-            return stripes(f, a, p)
-        if c == 1:  # checkerboard
-            return ((np.floor(u * f) + np.floor(v * f)) % 2)
-        if c == 2:  # dot grid
-            return (np.sin(2 * np.pi * f * u + p) * np.sin(2 * np.pi * f * v + p) > 0.3) * 1.0
-        if c == 3:  # concentric rings
-            return 0.5 + 0.5 * np.sin(2 * np.pi * f * r + p)
-        if c == 4:  # radial starburst
-            theta = np.arctan2(yy - rloc[1], xx - rloc[0])
-            return 0.5 + 0.5 * np.sin(int(f) * 2 * theta + p)
-        if c == 5:  # smooth blobs (low-frequency noise)
-            g = rng.randn(8, 8)
-            from numpy.fft import irfft2
-
-            big = np.zeros((size, size))
-            big[:8, :8] = g
-            out = np.real(np.fft.ifft2(np.fft.fft2(big)))
-            out = (out - out.min()) / max(np.ptp(out), 1e-9)
-            return out
-        if c == 6:  # fine speckle
-            return (rng.rand(size, size) > 0.5) * 1.0
-        # crosshatch: two orthogonal stripe fields
-        return np.maximum(stripes(f, a, p), stripes(f, a + np.pi / 2, p))
-
-    for c in range(num_classes):
-        for _ in range(n_per_class):
-            f = 4 + 6 * rng.rand()  # random scale per image
-            a = rng.rand() * np.pi  # random orientation per image
-            p = rng.rand() * 2 * np.pi
-            rloc = 0.3 * (rng.rand(2) - 0.5)
-            tex = gen(c, f, a, p, rloc)
-            color = 0.3 + 0.7 * rng.rand(3)
-            img = tex[..., None] * color[None, None]
-            img = img * (0.6 + 0.4 * rng.rand()) + 0.08 * rng.randn(size, size, 3)
-            xs.append(np.clip(img, 0, 1).astype(np.float32))
-            ys.append(c)
-    order = rng.permutation(len(xs))
-    return np.stack(xs)[order], np.asarray(ys)[order]
+    return make_texture_dataset(n_per_class, size, num_classes, seed)
 
 
 def main():
@@ -159,6 +109,18 @@ def main():
             ks=(5,), num_classes=8,
         )[5]
 
+    def probe_acc(params):
+        # the reference's headline SSL metric (README.md:18-25) is the
+        # linear probe; run the same protocol (eval/linear_probe.py: SGD
+        # momentum + cosine lr over frozen features)
+        from dinomc_tpu.eval.linear_probe import train_linear_probe
+
+        f = features(params)
+        return train_linear_probe(
+            f[:n_train], labels[:n_train], f[n_train:], labels[n_train:],
+            num_classes=8, epochs=50, batch_size=256,
+        )["top1"]
+
     acc_before = knn_acc(state.teacher)
     print(f"k-NN acc before pretraining: {acc_before:.2f}% (chance = 12.5%)")
 
@@ -182,6 +144,8 @@ def main():
 
     acc_after = knn_acc(state.teacher)
     print(f"k-NN acc after {args.steps} steps: {acc_after:.2f}%")
+    lp_after = probe_acc(state.teacher)
+    print(f"linear-probe acc after {args.steps} steps: {lp_after:.2f}%")
     ok = acc_after >= max(acc_before + 5.0, 50.0)
     print("LEARNING DEMONSTRATED" if ok else
           "INCONCLUSIVE (early-phase DINO; try more --steps)")

@@ -11,6 +11,8 @@ import sys
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI train loops
+
 
 @pytest.fixture(autouse=True)
 def _fresh_jax_caches():

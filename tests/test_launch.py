@@ -7,6 +7,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess fault-injection supervision loops
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

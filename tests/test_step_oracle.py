@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-step torch-oracle parity runs
 import torch
 
 from dinomc_tpu.ckpt.torch_import import (
