@@ -48,6 +48,10 @@ def _clear_jax_caches_between_modules():
     same module passes in isolation. Bounding live-executable state per
     module keeps the single-process suite stable; per-test clearing would
     throw away compiles that fixtures intentionally share.
+
+    Set DINOMC_NO_CACHE_CLEAR=1 to disable (the repro handle for chasing
+    the underlying XLA:CPU issue; see docs/performance.md test-suite note).
     """
     yield
-    jax.clear_caches()
+    if not os.environ.get("DINOMC_NO_CACHE_CLEAR"):
+        jax.clear_caches()

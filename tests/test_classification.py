@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # cls/oscd trainer integration
+
 from dinomc_tpu.data import classification as cd
 from dinomc_tpu.data.oscd import OSCDTiles, collate_pairs
 from dinomc_tpu.eval.knn import knn_accuracy, knn_predict

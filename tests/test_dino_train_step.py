@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train-step integration (multi-minute jit compiles)
+
 from dinomc_tpu.core import schedules
 from dinomc_tpu.core.mesh import make_mesh, shard_batch, replicate
 from dinomc_tpu.train.dino_trainer import (

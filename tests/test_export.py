@@ -6,6 +6,10 @@ import numpy as np
 
 from dinomc_tpu.ckpt import export as ex
 
+import pytest
+
+pytestmark = pytest.mark.slow  # seg/cls model export integration
+
 
 def test_export_roundtrip_simple(tmp_path):
     w = jnp.asarray(np.random.RandomState(0).randn(8, 4).astype(np.float32))

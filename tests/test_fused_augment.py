@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # pallas-interpret augmentation parity
+
 from dinomc_tpu.ops import augment as xaug
 from dinomc_tpu.ops.pallas import augment as paug
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # seg train-step integration + overfit run
+
 from dinomc_tpu.models.upernet import UPerNetConfig
 from dinomc_tpu.train.seg_trainer import (
     SegConfig,

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # ring-attention shard_map forwards + grads
 from jax.sharding import PartitionSpec as P
 
 from dinomc_tpu.core.mesh import make_mesh

@@ -9,6 +9,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dinomc_tpu.models import layers
 
+import pytest
+
+pytestmark = pytest.mark.slow  # sharded-vs-replicated BN train steps
+
 
 def test_bn_batch_stats_are_global_under_sharding(mesh8):
     rng = np.random.RandomState(0)

@@ -1,0 +1,45 @@
+"""Synthetic texture/scene generators (dinomc_tpu/utils/synthetic.py)."""
+
+import numpy as np
+
+from dinomc_tpu.utils.synthetic import (
+    NUM_CLASSES,
+    colorize,
+    make_seg_scene,
+    make_texture_dataset,
+    texture,
+)
+
+
+def test_texture_families_shapes_and_range():
+    rng = np.random.RandomState(0)
+    for c in range(NUM_CLASSES):
+        t = texture(c, 32, rng)
+        assert t.shape == (32, 32)
+        assert np.isfinite(t).all()
+        assert -0.01 <= t.min() and t.max() <= 1.01
+
+
+def test_colorize_range():
+    rng = np.random.RandomState(1)
+    img = colorize(texture(0, 16, rng), rng)
+    assert img.shape == (16, 16, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_texture_dataset_balanced_and_deterministic():
+    xs, ys = make_texture_dataset(n_per_class=4, size=16, seed=3)
+    xs2, ys2 = make_texture_dataset(n_per_class=4, size=16, seed=3)
+    np.testing.assert_array_equal(xs, xs2)
+    np.testing.assert_array_equal(ys, ys2)
+    assert xs.shape == (32, 16, 16, 3)
+    assert np.bincount(ys, minlength=NUM_CLASSES).tolist() == [4] * NUM_CLASSES
+
+
+def test_seg_scene_mask_matches_classes():
+    rng = np.random.RandomState(2)
+    img, mask = make_seg_scene(64, rng)
+    assert img.shape == (64, 64, 3) and mask.shape == (64, 64)
+    assert mask.min() >= 0 and mask.max() < NUM_CLASSES
+    # every Voronoi cell got painted (no all-zero holes)
+    assert img.std() > 0.05

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch round-trip export of full encoders
+
 from dinomc_tpu.ckpt import torch_export, torch_import
 
 

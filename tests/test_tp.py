@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # dp/tp/fsdp mesh train-step trajectory comparisons
+
 from dinomc_tpu.core import schedules
 from dinomc_tpu.core.mesh import (
     MODEL_AXIS,
