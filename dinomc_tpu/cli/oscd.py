@@ -38,6 +38,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--max_steps", default=0, type=int)
     p.add_argument("--print_freq", default=5, type=int)
+    p.add_argument("--panel_samples", default=8, type=int,
+                   help="val samples visualized per epoch under "
+                        "<output_dir>/panels (img1|img2|gt|pred strips, "
+                        "the reference's per-sample TensorBoard panels, "
+                        "main_oscd.py:54-78); 0 disables")
     return p
 
 
@@ -148,7 +153,13 @@ def run(args) -> float:
                              best_mode="max", metric_name="f1")
     logger = JsonlLogger(f"{args.output_dir}/log.txt")
 
-    def evaluate():
+    def evaluate(epoch=None):
+        from dinomc_tpu.utils.visualization import save_change_panel
+
+        panel_dir = None
+        if epoch is not None and args.panel_samples > 0:
+            panel_dir = ensure_dir(f"{args.output_dir}/panels/epoch_{epoch:03d}")
+        n_panels = 0
         tp = fp = fn = 0.0
         for x1, x2, m in batches(val_ds, val_idx, False, 0):
             logits = oscd_predict(
@@ -159,6 +170,17 @@ def run(args) -> float:
             tp += float((pred & gt).sum())
             fp += float((pred & ~gt).sum())
             fn += float((~pred & gt).sum())
+            if panel_dir is not None:
+                for i in range(len(x1)):
+                    if n_panels >= args.panel_samples:
+                        break
+                    save_change_panel(
+                        f"{panel_dir}/sample_{n_panels:02d}.png",
+                        np.asarray(x1[i]), np.asarray(x2[i]),
+                        gt[i].astype(np.float32),
+                        pred[i].astype(np.float32),
+                    )
+                    n_panels += 1
         prec = tp / max(tp + fp, 1.0)
         rec = tp / max(tp + fn, 1.0)
         f1 = 2 * prec * rec / max(prec + rec, 1e-12)
@@ -189,7 +211,7 @@ def run(args) -> float:
                 ml.update(loss=float(metrics["loss"]), f1=float(metrics["f1"]))
             if args.max_steps and it >= args.max_steps:
                 break
-        prec, rec, f1 = evaluate()
+        prec, rec, f1 = evaluate(epoch)
         print(f"epoch {epoch}: P {prec:.2f} R {rec:.2f} F1 {f1:.2f}")
         logger.write({"epoch": epoch, "precision": prec, "recall": rec, "f1": f1})
         if f1 >= best_f1:

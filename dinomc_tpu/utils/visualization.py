@@ -74,6 +74,41 @@ def transform_convert(
     )
 
 
+def save_change_panel(
+    save_path: str,
+    img1: np.ndarray,  # (H, W, 3) [0,1]
+    img2: np.ndarray,  # (H, W, 3) [0,1]
+    gt: np.ndarray,  # (H, W) {0,1}
+    pred: np.ndarray,  # (H, W) {0,1} (already thresholded)
+    pad: int = 2,
+) -> None:
+    """One (img1 | img2 | gt | pred) strip as a PNG.
+
+    OSCD observability parity: the reference logs per-sample img_1/img_2/
+    mask/out image panels to TensorBoard every step
+    (``main_oscd.py:54-78``); we write the same four views as one figure
+    file per sample per epoch under ``--output_dir/panels``.
+    """
+
+    def _rgb(x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 2:
+            x = np.repeat(x[..., None], 3, axis=-1)
+        return np.clip(x, 0, 1)
+
+    tiles = np.stack([_rgb(img1), _rgb(img2), _rgb(gt), _rgb(pred)])
+    n, h, w, _ = tiles.shape
+    strip = np.full((h + 2 * pad, n * (w + pad) + pad, 3), 1.0, np.float32)
+    for i in range(n):
+        x0 = pad + i * (w + pad)
+        strip[pad : pad + h, x0 : x0 + w] = tiles[i]
+    from PIL import Image
+
+    Image.fromarray(
+        np.clip(strip * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    ).save(save_path)
+
+
 def save_segmentation_figure(
     image: np.ndarray,  # (H, W, 3) [0,1]
     pred_mask: np.ndarray,  # (H, W) class ids

@@ -197,10 +197,14 @@ def test_oscd_cli(tmp_path):
 
     args = _args(mod, dict(
         epochs=1, max_steps=2, batch_size=4, output_dir=str(tmp_path),
-        print_freq=1,
+        print_freq=1, panel_samples=3,
     ))
     f1 = mod.run(args)
     assert 0.0 <= f1 <= 100.0
+    # per-epoch (img1|img2|gt|pred) panels — reference main_oscd.py:54-78
+    panels = sorted((tmp_path / "panels" / "epoch_000").glob("*.png"))
+    assert len(panels) == 3
+    assert all(p.stat().st_size > 0 for p in panels)
 
 
 def test_train_seg_cli(tmp_path):
