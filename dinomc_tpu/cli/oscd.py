@@ -184,7 +184,8 @@ def run(args) -> float:
         prec = tp / max(tp + fp, 1.0)
         rec = tp / max(tp + fn, 1.0)
         f1 = 2 * prec * rec / max(prec + rec, 1e-12)
-        return prec * 100, rec * 100, f1 * 100
+        iou = tp / max(tp + fp + fn, 1.0)
+        return prec * 100, rec * 100, f1 * 100, iou * 100
 
     it, best_f1, start_epoch = 0, 0.0, 0
     # resume from this run's newest checkpoint (the reference's Lightning
@@ -211,9 +212,10 @@ def run(args) -> float:
                 ml.update(loss=float(metrics["loss"]), f1=float(metrics["f1"]))
             if args.max_steps and it >= args.max_steps:
                 break
-        prec, rec, f1 = evaluate(epoch)
-        print(f"epoch {epoch}: P {prec:.2f} R {rec:.2f} F1 {f1:.2f}")
-        logger.write({"epoch": epoch, "precision": prec, "recall": rec, "f1": f1})
+        prec, rec, f1, iou = evaluate(epoch)
+        print(f"epoch {epoch}: P {prec:.2f} R {rec:.2f} F1 {f1:.2f} IoU {iou:.2f}")
+        logger.write({"epoch": epoch, "precision": prec, "recall": rec,
+                      "f1": f1, "iou": iou})
         if f1 >= best_f1:
             best_f1 = f1
             ckpt.save(epoch, jax.device_get(state), metric=f1)

@@ -112,6 +112,8 @@ def oscd_train_step(
     precision = tp / jnp.maximum(pred.sum(), 1.0)
     recall = tp / jnp.maximum(mask.sum(), 1.0)
     f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
+    # binary Jaccard on the same 0.5 threshold (reference main_oscd.py:41)
+    iou = tp / jnp.maximum(pred.sum() + mask.sum() - tp, 1.0)
     return (
         OSCDTrainState(
             step=state.step + 1,
@@ -120,7 +122,8 @@ def oscd_train_step(
             opt_state=new_opt,
             rng=state.rng,
         ),
-        {"loss": loss, "precision": precision, "recall": recall, "f1": f1},
+        {"loss": loss, "precision": precision, "recall": recall, "f1": f1,
+         "iou": iou},
     )
 
 
