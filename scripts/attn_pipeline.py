@@ -321,58 +321,61 @@ def bench():
     v = jax.random.normal(kv, (B, Np, Fp), jnp.bfloat16)
     scale = d**-0.5
 
-    flops12 = 12 * 4 * B * h * N * N * d
+    # NOTE: wrapping the kernels in a 12-layer ``lax.scan`` stalls the axon
+    # relay's remote-compile service outright (>25 min, no result — the
+    # same failure mode bench.py documents for fori_loop probes). Instead:
+    # unrolled straight-line chains of L dependent kernel calls per jit
+    # (o has q's shape, so o_t feeds q_{t+1}) — same amortization of
+    # dispatch, loop-free HLO the relay can compile.
+    L = 4
+    flopsL = L * 4 * B * h * N * N * d
 
     def run(name, fn):
         f = jax.jit(fn)
-        dt = timeit(f)
-        print(f"{name:28s} {dt*1e3:7.2f} ms  ({flops12/dt/1e12:5.1f} TF/s "
-              f"over 12 layers)")
+        dt = timeit(lambda: f(q, k, v))
+        print(f"{name:28s} {dt*1e3:7.2f} ms  ({flopsL/dt/1e12:5.1f} TF/s "
+              f"over {L} layers)", flush=True)
         return dt
 
-    def scan12(single):
+    def chainL(single):
         def g(q, k, v):
-            def body(x, _):
-                return single(x, k, v), None
-            out, _ = jax.lax.scan(body, q, None, length=12)
-            return out
+            for _ in range(L):
+                q = single(q, k, v)
+            return q
         return g
 
-    print(f"shapes: B={B} N={N} (pad {Np}) h={h} d={d}")
-    run("v0 production (12x)", scan12(
+    print(f"shapes: B={B} N={N} (pad {Np}) h={h} d={d}  chain L={L}")
+    run("v0 production", chainL(
         lambda q, k, v: _fused_attention(q, k, v, scale, N, d, 0)))
-    for chunk in (64, 128, 224, 448):
-        if Np % chunk:
-            continue
-        for skew in (0, 1, 2):
-            run(f"chunked c={chunk} skew={skew} (12x)", scan12(
-                lambda q, k, v, c=chunk, s=skew: chunked_attention(
-                    q, k, v, scale, N, d, chunk=c, skew=s)))
+    for chunk, skew in ((128, 0), (128, 1), (128, 2), (448, 1), (448, 2)):
+        run(f"chunked c={chunk} skew={skew}", chainL(
+            lambda q, k, v, c=chunk, s=skew: chunked_attention(
+                q, k, v, scale, N, d, chunk=c, skew=s)))
 
     # fwd+bwd: what the train step actually pays (bwd FLOPs = 2.5x fwd)
-    def grad12(single):
+    def gradL(single):
         def g(q, k, v):
             def loss(q, k, v):
-                def body(x, _):
-                    return single(x, k, v), None
-                out, _ = jax.lax.scan(body, q, None, length=12)
-                return jnp.sum(out.astype(jnp.float32) ** 2)
+                x = q
+                for _ in range(L):
+                    x = single(x, k, v)
+                return jnp.sum(x.astype(jnp.float32) ** 2)
             return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         return g
 
-    fb_flops12 = 12 * (4 + 10) * B * h * N * N * d
+    fb_flopsL = L * (4 + 10) * B * h * N * N * d
 
     def run_fb(name, fn):
         f = jax.jit(fn)
-        dt = timeit(f)
-        print(f"{name:28s} {dt*1e3:7.2f} ms  ({fb_flops12/dt/1e12:5.1f} TF/s "
-              f"f+b over 12 layers)")
+        dt = timeit(lambda: f(q, k, v))
+        print(f"{name:28s} {dt*1e3:7.2f} ms  ({fb_flopsL/dt/1e12:5.1f} TF/s "
+              f"f+b over {L} layers)", flush=True)
         return dt
 
-    run_fb("v0 production f+b (12x)", grad12(
+    run_fb("v0 production f+b", gradL(
         lambda q, k, v: _fused_attention(q, k, v, scale, N, d, 0)))
-    for chunk, skew in ((128, 0), (128, 1), (128, 2), (448, 1), (448, 2)):
-        run_fb(f"chunked f+b c={chunk} s={skew}", grad12(
+    for chunk, skew in ((128, 0), (128, 1), (448, 1)):
+        run_fb(f"chunked f+b c={chunk} s={skew}", gradL(
             lambda q, k, v, c=chunk, s=skew: chunked_mha(
                 q, k, v, scale, N, d, c, s, 0)))
 
