@@ -61,7 +61,9 @@ class UPerNetConfig:
 
     @property
     def embed_dim(self) -> int:
-        return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}[self.arch]
+        return {
+            "vit_tiny": 192, "vit_small": 384, "vit_base": 768, "vit_test": 32,
+        }[self.arch]
 
     def vit_config(self, img_size: int = 224) -> ViTConfig:
         cfg = VIT_FACTORIES[self.arch](patch_size=self.patch_size, img_size=img_size)

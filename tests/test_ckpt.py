@@ -76,8 +76,11 @@ def test_train_state_resume_continuity(tmp_path):
         init_dino_train_state,
     )
 
+    # vit_test (3 layers, dim 32): the resume logic under test is
+    # arch-independent, and the 12-layer vit_tiny fwd+bwd compile alone
+    # cost ~65 s of the fast suite on XLA:CPU.
     cfg = DinoConfig(
-        arch="vit_tiny", patch_size=8, out_dim=64, niter_per_ep=2,
+        arch="vit_test", patch_size=8, out_dim=64, niter_per_ep=2,
         global_crop_size=32, drop_path_rate=0.0,
     )
     sch = DinoSchedules(

@@ -93,6 +93,12 @@ def test_swin_padding_does_not_leak():
     o1 = swin.swin_forward(params, x, TINY_SWIN)
     o2 = swin.swin_forward(params, x, TINY_SWIN)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+@pytest.mark.slow  # shifted-window grad graph costs ~45 s to compile on CPU
+def test_swin_padded_grads_finite():
+    params = swin.init_swin(jax.random.PRNGKey(1), TINY_SWIN)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 36, 36, 3))
     g = jax.grad(lambda p: swin.swin_forward(p, x, TINY_SWIN).sum())(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -111,6 +111,7 @@ def test_pack_tiff_sources(tmp_path):
         np.testing.assert_array_equal(np.asarray(reader.record(i)), ref)
 
 
+@pytest.mark.slow  # two full multicrop_augment compiles (~30 s on XLA:CPU)
 def test_uint8_batch_through_device_augment(tmp_path):
     """multicrop_augment(uint8) must equal multicrop_augment(f32/255)."""
     import jax

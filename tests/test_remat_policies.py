@@ -12,7 +12,13 @@ import pytest
 
 from dinomc_tpu.models import vit
 
-POLICIES = ["full", "dots", "dots+attn", "attn", "qkv+attn", "attn+mlp", "qkv+attn+mlp"]
+# The two production policies (bench.py B=10 winner and the large-batch
+# default) stay in the fast suite; the other five are identical machinery
+# with a different save-list and run as slow (each costs a full fwd+bwd
+# compile pair on XLA:CPU — ~100 s of the fast suite for no extra
+# code-path coverage).
+POLICIES = ["attn", "qkv+attn+mlp"]
+SLOW_POLICIES = ["full", "dots", "dots+attn", "qkv+attn", "attn+mlp"]
 
 
 def _cfg(**kw):
@@ -22,7 +28,10 @@ def _cfg(**kw):
     )
 
 
-@pytest.mark.parametrize("policy", POLICIES)
+@pytest.mark.parametrize(
+    "policy",
+    POLICIES + [pytest.param(p, marks=pytest.mark.slow) for p in SLOW_POLICIES],
+)
 def test_policy_matches_no_remat(policy):
     base = _cfg(remat=False)
     params = vit.init_vit(jax.random.PRNGKey(0), base)

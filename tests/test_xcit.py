@@ -37,6 +37,7 @@ def test_arbitrary_resolution(model):
         assert out.shape == (1, 32)
 
 
+@pytest.mark.slow  # grad-graph compile of XCA+LPI costs ~40 s on XLA:CPU
 def test_grads_finite(model):
     params, cfg = model
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
@@ -62,9 +63,15 @@ def test_p8_stem():
     assert out.shape == (1, 32)
 
 
-def test_encoder_registry_xcit():
+def test_encoder_registry_xcit_wiring():
     enc = EncoderConfig(arch="xcit_small_12", patch_size=16)
     assert enc.embed_dim == 384
+    assert not enc.supports_packing and not enc.has_bn
+
+
+@pytest.mark.slow  # full 12-layer xcit_small_12 init+forward (~45 s CPU)
+def test_encoder_registry_xcit():
+    enc = EncoderConfig(arch="xcit_small_12", patch_size=16)
     params, state = enc.init(jax.random.PRNGKey(0))
     out, _ = enc.apply(params, state, jnp.ones((1, 64, 64, 3)), False, None)
     assert out.shape == (1, 384)
