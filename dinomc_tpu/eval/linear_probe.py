@@ -49,6 +49,7 @@ def train_linear_probe(
     base_lr: float = 0.01,
     weight_decay: float = 0.0,
     seed: int = 0,
+    return_params: bool = False,
 ) -> Dict[str, float]:
     """Returns {'top1': %, 'loss': final}. SGD momentum 0.9 + cosine lr."""
     N, D = train_feats.shape
@@ -76,4 +77,48 @@ def train_linear_probe(
     (w, b), _ = carry
     logits = jnp.asarray(test_feats, jnp.float32) @ w + b
     top1 = float((logits.argmax(-1) == jnp.asarray(test_labels)).mean() * 100.0)
-    return {"top1": top1, "loss": float(loss)}
+    out = {"top1": top1, "loss": float(loss)}
+    if return_params:
+        out["params"] = (np.asarray(w), np.asarray(b))
+    return out
+
+
+def dense_linear_probe(
+    train_tokens: np.ndarray,  # (Nt, D) per-position frozen features
+    train_labels: np.ndarray,  # (Nt,) int class per position
+    test_tokens: np.ndarray,
+    test_labels: np.ndarray,
+    num_classes: int,
+    epochs: int = 30,
+    batch_size: int = 4096,
+    base_lr: float = 0.05,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Linear SEGMENTATION probe: one (D, C) classifier per token position.
+
+    The frozen-feature dense eval: every patch token is a sample, the label
+    is the ground-truth mask class at that token's center. Backbone quality
+    is the ONLY variable — a linear map cannot re-learn texture features
+    the way a trained multi-layer decoder can, so pretrained-vs-random
+    margins here measure representation quality, not decoder capacity
+    (see scripts/full_chain.py for why the gate lives at this altitude).
+    Returns {'top1', 'miou', 'loss'} on the test tokens.
+    """
+    res = train_linear_probe(
+        train_tokens, train_labels, test_tokens, test_labels, num_classes,
+        epochs=epochs, batch_size=batch_size, base_lr=base_lr, seed=seed,
+        return_params=True,
+    )
+    w, b = res.pop("params")
+    pred = np.asarray(
+        jnp.argmax(jnp.asarray(test_tokens, jnp.float32) @ w + b, axis=-1)
+    )
+    gt = np.asarray(test_labels)
+    ious = []
+    for c in range(num_classes):
+        inter = float(((pred == c) & (gt == c)).sum())
+        union = float(((pred == c) | (gt == c)).sum())
+        if union > 0:
+            ious.append(inter / union)
+    res["miou"] = float(np.mean(ious)) if ious else 0.0
+    return res

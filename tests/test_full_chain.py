@@ -38,6 +38,8 @@ def test_full_chain_smoke(tmp_path):
     # wiring contract: every stage produced a number
     assert 0.0 <= result["value"] <= 1.0
     assert "val_miou_pretrained" in result and "val_miou_random_control" in result
+    # the margin instrument (dense linear probe) ran for both backbones
+    assert "probe_miou_pretrained" in result and "probe_miou_random" in result
     import numpy as np
 
     assert np.isfinite(result["pretrain_loss"])
