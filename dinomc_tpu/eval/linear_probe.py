@@ -103,7 +103,16 @@ def dense_linear_probe(
     margins here measure representation quality, not decoder capacity
     (see scripts/full_chain.py for why the gate lives at this altitude).
     Returns {'top1', 'miou', 'loss'} on the test tokens.
+
+    Features are standardized per dimension (train statistics): raw tap
+    activations differ in scale by orders of magnitude across layers, and
+    a single-lr SGD probe on the unstandardized concat underfits — the
+    probe would measure conditioning, not representation.
     """
+    mu = train_tokens.mean(axis=0, keepdims=True)
+    sd = train_tokens.std(axis=0, keepdims=True) + 1e-6
+    train_tokens = (train_tokens - mu) / sd
+    test_tokens = (test_tokens - mu) / sd
     res = train_linear_probe(
         train_tokens, train_labels, test_tokens, test_labels, num_classes,
         epochs=epochs, batch_size=batch_size, base_lr=base_lr, seed=seed,

@@ -35,7 +35,7 @@ ARCH_SETUPS = {
     "resnet50": dict(batch=24, optimizer="lars"),
     "wide_resnet50_2": dict(batch=16, optimizer="lars"),
     "swin_t": dict(batch=16, optimizer="adamw"),
-    "xcit_small_12_p8": dict(batch=8, optimizer="adamw", patch_size=8),
+    "xcit_small_12": dict(batch=8, optimizer="adamw", patch_size=8),
 }
 
 
@@ -125,9 +125,14 @@ def main() -> int:
                                       "error": str(e)[:120]}), flush=True)
                     break
         else:
-            print(json.dumps(
-                bench_arch(arch, ARCH_SETUPS[arch]["batch"], args.iters)
-            ), flush=True)
+            try:
+                print(json.dumps(
+                    bench_arch(arch, ARCH_SETUPS[arch]["batch"], args.iters)
+                ), flush=True)
+            except Exception as e:  # keep the remaining archs' rows
+                print(json.dumps({"metric": f"dino_mc_{arch}",
+                                  "batch": ARCH_SETUPS[arch]["batch"],
+                                  "error": str(e)[:200]}), flush=True)
     return 0
 
 

@@ -85,10 +85,26 @@ def main():
         local_sizes=(64, 48), local_scale=(0.1, 0.4),
     )
     epochs = max(args.steps // cfg.niter_per_ep, 1)
+    # LARS needs a LARS-scale base lr: the trust ratio (eta=0.001,
+    # train/optim.py) rescales every update to ~eta*lr*||w||, so AdamW's
+    # 1e-3 yields ~1e-6-relative steps and a flat loss (measured: the
+    # first rn50 run sat at loss 7.10 for 1500 steps with k-NN declining).
+    # DINO's convnet recipe is base 0.3 linearly scaled by bs/256.
+    base_lr = 0.3 * args.batch / 256.0 if is_bn else 1e-3
     sch = DinoSchedules(
         lr=jnp.asarray(schedules.cosine_scheduler(
-            1e-3, 1e-5, epochs, cfg.niter_per_ep, warmup_epochs=2)),
-        wd=jnp.asarray(schedules.cosine_scheduler(0.04, 0.2, epochs, cfg.niter_per_ep)),
+            base_lr, base_lr * 1e-2, epochs, cfg.niter_per_ep,
+            warmup_epochs=2)),
+        # LARS: wd feeds the trust ratio's gradient norm, so at the early
+        # collapse plateau (tiny true grads) ViT-scale wd turns every LARS
+        # update into pure weight shrinkage — features wash out (measured:
+        # k-NN 40.8 -> 32.0 over 1500 steps at wd 0.04->0.2). SwAV/DINO
+        # convnet recipes run LARS at wd 1e-6.
+        wd=jnp.asarray(
+            schedules.cosine_scheduler(1e-6, 1e-6, epochs, cfg.niter_per_ep)
+            if is_bn else
+            schedules.cosine_scheduler(0.04, 0.2, epochs, cfg.niter_per_ep)
+        ),
         # 0.99 -> 1.0: at toy-run lengths (a few thousand steps) a 0.9995
         # teacher lags ~2000 steps and never sharpens; 0.99 reaches useful
         # teacher signal within ~100 steps while still damping batch noise
