@@ -94,7 +94,8 @@ def dense_linear_probe(
     base_lr: float = 0.05,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Linear SEGMENTATION probe: one (D, C) classifier per token position.
+    """Linear SEGMENTATION probe: a single shared (D, C) classifier
+    applied independently to every token.
 
     The frozen-feature dense eval: every patch token is a sample, the label
     is the ground-truth mask class at that token's center. Backbone quality

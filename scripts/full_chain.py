@@ -127,10 +127,20 @@ def main() -> int:
     ap.add_argument("--miou_bar", default=0.35, type=float,
                     help="absolute stitched-mIoU bar for the pretrained "
                          "chain (8-class chance ~= per-class prior)")
-    ap.add_argument("--margin", default=15.0, type=float,
+    # Renamed from --margin (r3) which meant an mIoU *fraction* on the
+    # decoder fine-tune: a stale `--margin 0.05` invocation must fail
+    # loudly rather than silently disable the gate (ADVICE r3 #1).
+    ap.add_argument("--knn_margin", default=15.0, type=float,
                     help="required pooled-tap 5-NN accuracy margin "
                          "(percentage points) of the pretrained backbone "
                          "over the random-init one")
+    ap.add_argument("--decoder_collapse_tol", default=0.25, type=float,
+                    help="weak sanity bound on the trained readout: fail "
+                         "if the pretrained decoder fine-tune val mIoU "
+                         "falls more than this below the random-init "
+                         "control (catches catastrophic collapse even "
+                         "where the toy-world readouts saturate — "
+                         "docs/quality.md)")
     ap.add_argument("--smoke", action="store_true",
                     help="wiring check only: skip the quality assertions")
     ap.add_argument("--reuse", action="store_true",
@@ -202,7 +212,15 @@ def main() -> int:
     def run_seg(tag: str, ckpt: str) -> float:
         out = os.path.join(work, f"seg_{tag}")
         marker = os.path.join(out, "val_miou.json")
-        if args.reuse and os.path.exists(marker):
+        # A marker is only valid for the backbone it was trained against:
+        # if teacher.pth was regenerated after the marker was written, the
+        # cached mIoU (and the seg checkpoint the stitched eval will load)
+        # belong to a different backbone — re-run (ADVICE r3 #3).
+        marker_fresh = os.path.exists(marker) and (
+            not ckpt or not os.path.exists(ckpt)
+            or os.path.getmtime(ckpt) <= os.path.getmtime(marker)
+        )
+        if args.reuse and marker_fresh:
             with open(marker) as f:
                 return json.load(f)["val_miou"]
         miou = train_seg.train_seg(_args(train_seg, dict(
@@ -264,10 +282,12 @@ def main() -> int:
     if args.smoke:
         return 0
     ok = (miou_stitched >= args.miou_bar
-          and pooled_pre >= pooled_rand + args.margin)
+          and pooled_pre >= pooled_rand + args.knn_margin
+          and miou_pre >= miou_rand - args.decoder_collapse_tol)
     print("QUALITY CHAIN OK" if ok else
           f"QUALITY CHAIN FAILED (bar {args.miou_bar}, pooled-probe margin "
-          f"{args.margin} pts)")
+          f"{args.knn_margin} pts, decoder collapse tol "
+          f"{args.decoder_collapse_tol})")
     return 0 if ok else 1
 
 

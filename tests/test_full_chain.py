@@ -42,7 +42,11 @@ def test_full_chain_smoke(tmp_path):
     assert "probe_miou_pretrained" in result and "probe_miou_random" in result
     import numpy as np
 
-    assert np.isfinite(result["pretrain_loss"])
+    # the smoke path runs pretrain (no --reuse), so the loss must be real;
+    # guard against the --reuse null so a stale workdir fails cleanly
+    assert result["pretrain_loss"] is not None and np.isfinite(
+        result["pretrain_loss"]
+    )
     # artifacts of each stage exist
     assert os.path.exists(tmp_path / "teacher.pth")
     assert os.path.isdir(tmp_path / "seg_pretrained" / "checkpoints")
