@@ -119,6 +119,23 @@ class EncoderConfig:
             return xc.xcit_forward(params, x, cfg, rng, not train), state
         raise ValueError(self.arch)
 
+    def apply_multi(
+        self,
+        params: Params,
+        state: Params,
+        xs,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """ANY number of crop batches in ONE merged-GEMM forward (ViT
+        only): exactly ``apply`` per batch, but qkv/proj/MLP run as single
+        large-M GEMMs over the concatenated token stream
+        (``models/vit.vit_forward_multi``). Returns (list_of_feats, state)."""
+        if not self.supports_packing:
+            raise ValueError(f"{self.arch} does not support bucket merging")
+        feats = vt.vit_forward_multi(params, xs, self._vit_cfg(), rng, not train)
+        return list(feats), state
+
     def apply_packed(
         self,
         params: Params,

@@ -425,6 +425,83 @@ def prepare_tokens(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarra
     return tokens + pos.astype(dt)
 
 
+def _remat_block(block_fn, policy: str):
+    """Wrap a block function in ``jax.checkpoint`` under the named
+    saved-activation policy (measured trade-offs in ViTConfig.remat_policy).
+    Shared by the per-bucket scan and the merged-bucket scan."""
+    if policy == "dots":
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    if policy == "dots+attn":
+        # additionally save the attention kernel's output — without it
+        # the backward re-runs the whole fused attention forward just to
+        # rebuild the proj matmul's input
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out"),
+            ),
+        )
+    if policy == "attn":
+        # save ONLY the attention kernel output: backward still redoes
+        # the qkv/mlp matmuls but skips the fused-attention forward
+        # (the most expensive single recompute); tiny HBM cost (D/token)
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
+    if policy == "attn+mlp":
+        # save the attention output AND the GELU'd MLP hidden: backward
+        # additionally skips the fc1 matmul + GELU recompute (the
+        # largest single linear recompute, 4D^2/token) at 4D/token/layer
+        # of HBM — the throughput/memory point between 'attn' and 'dots'
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_h"
+            ),
+        )
+    if policy == "qkv+attn":
+        # save qkv + attention output: backward skips the qkv matmul AND
+        # the fused-attention forward (its VJP residuals q,k,v reshape
+        # straight out of the saved qkv); recomputes only layernorms and
+        # the MLP. 4D/token/layer of HBM — the middle ground between
+        # 'full' (min memory) and 'dots' (saves every matmul)
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv", "attn_out"
+            ),
+        )
+    if policy == "qkv+attn+mlp":
+        # save qkv + attention output + GELU'd MLP hidden: backward
+        # recomputes only the layernorms. 8D/token/layer of HBM — viable
+        # at the small bench-optimal batches where HBM pressure is low.
+        return jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv", "attn_out", "mlp_h"
+            ),
+        )
+    return jax.checkpoint(block_fn)
+
+
+def _cast_blocks(params: Params, dt) -> Params:
+    """Cast the stacked matmul weights to the compute dtype ONCE, outside
+    the layer scan: the astype inside the body converts a fresh f32 slice
+    from HBM every layer (~7 MB f32/layer for ViT-S), on every forward AND
+    every remat recompute; converting the whole stacked tree up front
+    halves that weight traffic. LayerNorm params stay f32 (their math is
+    f32); elementwise-identical to the per-slice cast."""
+    blocks = dict(params["blocks"])
+    blocks["attn"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["attn"])
+    blocks["mlp"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["mlp"])
+    return blocks
+
+
 def _scan_blocks(
     params: Params,
     tokens: jnp.ndarray,
@@ -455,82 +532,14 @@ def _scan_blocks(
         return _block(x, bp, cfg, keep, masks, deterministic)
 
     if cfg.remat:
-        if cfg.remat_policy == "dots":
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
-        elif cfg.remat_policy == "dots+attn":
-            # additionally save the attention kernel's output — without it
-            # the backward re-runs the whole fused attention forward just to
-            # rebuild the proj matmul's input
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("attn_out"),
-                ),
-            )
-        elif cfg.remat_policy == "attn":
-            # save ONLY the attention kernel output: backward still redoes
-            # the qkv/mlp matmuls but skips the fused-attention forward
-            # (the most expensive single recompute); tiny HBM cost (D/token)
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
-            )
-        elif cfg.remat_policy == "attn+mlp":
-            # save the attention output AND the GELU'd MLP hidden: backward
-            # additionally skips the fc1 matmul + GELU recompute (the
-            # largest single linear recompute, 4D^2/token) at 4D/token/layer
-            # of HBM — the throughput/memory point between 'attn' and 'dots'
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "mlp_h"
-                ),
-            )
-        elif cfg.remat_policy == "qkv+attn":
-            # save qkv + attention output: backward skips the qkv matmul AND
-            # the fused-attention forward (its VJP residuals q,k,v reshape
-            # straight out of the saved qkv); recomputes only layernorms and
-            # the MLP. 4D/token/layer of HBM — the middle ground between
-            # 'full' (min memory) and 'dots' (saves every matmul)
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "qkv", "attn_out"
-                ),
-            )
-        elif cfg.remat_policy == "qkv+attn+mlp":
-            # save qkv + attention output + GELU'd MLP hidden: backward
-            # recomputes only the layernorms. 8D/token/layer of HBM — viable
-            # at the small bench-optimal batches where HBM pressure is low.
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "qkv", "attn_out", "mlp_h"
-                ),
-            )
-        else:
-            block_fn = jax.checkpoint(block_fn)
+        block_fn = _remat_block(block_fn, cfg.remat_policy)
 
     def body(x, per_layer):
         bp, keep, masks = per_layer
         y = block_fn(x, bp, keep, masks)
         return y, (y if collect_intermediates else None)
 
-    # Cast the stacked matmul weights to the compute dtype ONCE, outside the
-    # scan: the astype inside the body converts a fresh f32 slice from HBM
-    # every layer (~7 MB f32/layer for ViT-S), on every forward AND every
-    # remat recompute; converting the whole stacked tree up front halves
-    # that weight traffic. LayerNorm params stay f32 (their math is f32);
-    # elementwise-identical to the per-slice cast.
-    blocks = dict(params["blocks"])
-    dt = cfg.compute_dtype
-    blocks["attn"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["attn"])
-    blocks["mlp"] = jax.tree_util.tree_map(lambda a: a.astype(dt), blocks["mlp"])
-
+    blocks = _cast_blocks(params, cfg.compute_dtype)
     out, inter = jax.lax.scan(body, tokens, (blocks, dp_keeps, dp_masks))
     return out, inter
 
@@ -580,6 +589,138 @@ def vit_forward_packed(
     out, _ = _scan_blocks(params, tokens, cfg_p, rng, deterministic, False)
     out = layer_norm(out, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps)
     return out[:, 0].astype(jnp.float32), out[:, boundary].astype(jnp.float32)
+
+
+def _block_merged(x, bp, cfg: ViTConfig, segs, dp_keep, dp_masks,
+                  deterministic):
+    """One pre-norm block over the MERGED token stream x: (M, D).
+
+    All dense matmuls (qkv / proj / fc1 / fc2) and LayerNorms run on the
+    full (M, D) stream — ONE large-M GEMM each instead of one per crop
+    bucket; attention alone is per bucket (static row slices of the merged
+    qkv). ``segs``: static list of (offset, B_i, N_i). ``dp_masks``:
+    (2, M) bool keep-decisions, already broadcast per token.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    from dinomc_tpu.ops.attention import mha
+
+    eps = cfg.layernorm_eps
+    D = x.shape[-1]
+    h = cfg.num_heads
+    hd = D // h
+    scale = 1.0 / math.sqrt(hd)
+
+    def drop(y, mask):
+        if deterministic:
+            return y
+        s = (1.0 / dp_keep).astype(y.dtype)
+        return jnp.where(mask[:, None], y * s, jnp.zeros_like(y))
+
+    y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], eps)
+    qkv = y @ bp["attn"]["qkv"]["kernel"] + bp["attn"]["qkv"]["bias"]
+    qkv = checkpoint_name(qkv, "qkv")  # (M, 3D)
+    outs = []
+    for off, bi, ni in segs:
+        s = jax.lax.slice_in_dim(qkv, off, off + bi * ni, axis=0)
+        s = s.reshape(bi, ni, 3, h, hd)
+        o = mha(s[:, :, 0], s[:, :, 1], s[:, :, 2], scale, impl=cfg.attn_impl)
+        outs.append(o.reshape(bi * ni, D))
+    a = jnp.concatenate(outs, axis=0)
+    a = checkpoint_name(a, "attn_out")
+    a = a @ bp["attn"]["proj"]["kernel"] + bp["attn"]["proj"]["bias"]
+    x = x + drop(a, dp_masks[0])
+
+    y = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"], eps)
+    hdn = y @ bp["mlp"]["fc1"]["kernel"] + bp["mlp"]["fc1"]["bias"]
+    hdn = jax.nn.gelu(hdn, approximate=cfg.gelu_approx)
+    hdn = checkpoint_name(hdn, "mlp_h")
+    y = hdn @ bp["mlp"]["fc2"]["kernel"] + bp["mlp"]["fc2"]["bias"]
+    return x + drop(y, dp_masks[1])
+
+
+def vit_forward_multi(
+    params: Params,
+    xs: Sequence[jnp.ndarray],
+    cfg: ViTConfig,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jnp.ndarray, ...]:
+    """Forward ANY number of crop batches with all dense GEMMs merged.
+
+    The multi-crop student step runs 7-8 crop programs whose per-bucket
+    GEMMs sit at M = B·N ≈ 2-16k rows, where v5e bf16 GEMM efficiency is
+    ~half its M ≥ 28k level (measured: 6.3 → 35.6 TF/s going M 7.9k → 56k,
+    docs/performance.md). Here every bucket's tokens are flattened into one
+    (M, D) stream so qkv / proj / fc1 / fc2 each run as a single merged
+    GEMM per layer inside one ``lax.scan``; only the O(N²) attention is
+    sliced back per bucket (static row slices — no gather).
+
+    Exactly equivalent to ``vit_forward`` per bucket: every dense op is
+    token-pointwise or row-independent, attention sees exactly its own
+    bucket's rows, and DropPath draws independent per-(bucket, sample)
+    decisions. Returns one (B_i, D) float32 CLS embedding per input.
+
+    Parity: reference ``MultiCropWrapper`` (``utils/utils.py:611-646``)
+    semantics — which runs one forward per resolution — re-designed so the
+    MXU sees one large GEMM instead of many small ones.
+    """
+    assert xs, "need at least one crop batch"
+    D = cfg.embed_dim
+    dt = cfg.compute_dtype
+    L = cfg.depth
+
+    toks, segs, off = [], [], 0
+    for x in xs:
+        t = prepare_tokens(params, x, cfg)  # (B_i, N_i, D)
+        bi, ni = t.shape[0], t.shape[1]
+        toks.append(t.reshape(bi * ni, D))
+        segs.append((off, bi, ni))
+        off += bi * ni
+    merged = jnp.concatenate(toks, axis=0)  # (M, D)
+    M = off
+    segs = tuple(segs)
+
+    dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, L)
+    dp_keeps = 1.0 - dp_rates
+    if rng is None or deterministic:
+        dp_masks = jnp.ones((L, 2, M), jnp.bool_)
+        dp_keeps = jnp.ones((L,), jnp.float32)
+    else:
+        # one bernoulli per (layer, branch, bucket, sample), broadcast over
+        # that sample's N_i tokens — identical regularization to separate
+        # per-bucket forwards
+        parts = []
+        for i, (_, bi, ni) in enumerate(segs):
+            m = jax.random.bernoulli(
+                jax.random.fold_in(rng, i),
+                dp_keeps.reshape(L, 1, 1),
+                (L, 2, bi),
+            )
+            parts.append(jnp.repeat(m, ni, axis=2))
+        dp_masks = jnp.concatenate(parts, axis=2)  # (L, 2, M)
+
+    def block_fn(x, bp, keep, masks):
+        return _block_merged(x, bp, cfg, segs, keep, masks, deterministic)
+
+    if cfg.remat:
+        block_fn = _remat_block(block_fn, cfg.remat_policy)
+
+    def body(x, per_layer):
+        bp, keep, masks = per_layer
+        return block_fn(x, bp, keep, masks), None
+
+    blocks = _cast_blocks(params, dt)
+    out, _ = jax.lax.scan(body, merged, (blocks, dp_keeps, dp_masks))
+    out = layer_norm(
+        out, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps
+    )
+    return tuple(
+        jax.lax.slice_in_dim(out, off, off + bi * ni, axis=0)
+        .reshape(bi, ni, D)[:, 0]
+        .astype(jnp.float32)
+        for off, bi, ni in segs
+    )
 
 
 def vit_intermediate_layers(

@@ -72,6 +72,11 @@ class DinoConfig:
     # forwards (ViT only; exact — see models/vit.py:vit_forward_packed).
     # Measured −8.4% on the local-crop fwd+bwd at bench shapes.
     crop_packing: bool = True
+    # Merge ALL crop buckets (globals + locals) into one token stream so
+    # qkv/proj/MLP run as single large-M GEMMs per layer; attention stays
+    # per bucket (ViT only; exact — models/vit.py:vit_forward_multi).
+    # Supersedes crop_packing when on.
+    bucket_merge: bool = False
     # ViT selective-remat policy (models/vit.ViTConfig.remat_policy). All
     # policies are numerically identical; the choice trades recompute FLOPs
     # against saved-activation HBM. Measured on v5e (scripts/remat_bench.py):
@@ -228,29 +233,48 @@ def _forward_crops(
     rng: Optional[jax.Array],
     train: bool,
     pack: bool = True,
+    merge: bool = False,
 ) -> Tuple[jnp.ndarray, Params]:
     """Backbone per resolution bucket, one head pass.
     Returns ((n_crops, B, K) logits, new_bn_state)."""
     G, B = global_crops.shape[0], global_crops.shape[1]
     feats = []  # list of (B, D) in crop order
     gx = global_crops.reshape((G * B,) + global_crops.shape[2:])
-    if rng is not None:
-        rng, r0 = jax.random.split(rng)
-    else:
-        r0 = None
-    f, bn_state = enc.apply(params["backbone"], bn_state, gx, train, r0)
-    feats.extend(jnp.split(f, G, axis=0))
 
     # Bucket local crops by resolution so same-size crops share one forward
     # (MultiCropWrapper parity, utils/utils.py:627-646).
     buckets: Dict[int, list] = {}
     for idx, lc in enumerate(local_crops):
         buckets.setdefault(lc.shape[1], []).append((idx, lc))
-    local_feats: Dict[int, jnp.ndarray] = {}
     work = []  # (size, rows-concat, crop indices)
     for size, items in sorted(buckets.items()):
         xs = jnp.concatenate([lc for _, lc in items], axis=0)
         work.append((size, xs, [i for i, _ in items]))
+
+    if merge and local_crops and getattr(enc, "supports_packing", False):
+        # Merged-GEMM path: ALL buckets (globals first) in ONE forward —
+        # qkv/proj/MLP run at M = total tokens (vit_forward_multi).
+        bucket_feats, bn_state = enc.apply_multi(
+            params["backbone"], bn_state,
+            [gx] + [xs for _, xs, _ in work], train, rng,
+        )
+        feats.extend(jnp.split(bucket_feats[0], G, axis=0))
+        local_feats: Dict[int, jnp.ndarray] = {}
+        for (size, xs, idxs), fb in zip(work, bucket_feats[1:]):
+            for i, fi in zip(idxs, jnp.split(fb, len(idxs), axis=0)):
+                local_feats[i] = fi
+        feats.extend(local_feats[i] for i in range(len(local_crops)))
+        all_feats = jnp.concatenate(feats, axis=0)  # (n_crops*B, D)
+        logits = dino_head_forward(params["head"], all_feats, head_cfg)
+        return logits.reshape(len(feats), B, -1), bn_state
+
+    if rng is not None:
+        rng, r0 = jax.random.split(rng)
+    else:
+        r0 = None
+    f, bn_state = enc.apply(params["backbone"], bn_state, gx, train, r0)
+    feats.extend(jnp.split(f, G, axis=0))
+    local_feats: Dict[int, jnp.ndarray] = {}
 
     def _next_rng():
         nonlocal rng
@@ -332,6 +356,7 @@ def dino_loss_and_grads(
             step_rng,
             True,
             cfg.crop_packing,
+            cfg.bucket_merge,
         )
         loss, new_center = dino_loss(
             student_logits,
@@ -446,7 +471,7 @@ def dino_train_step_accum(
         def loss_fn(student_params):
             student_logits, new_bn = _forward_crops(
                 student_params, s_state, g, locals_, enc_s, head_cfg, mrng,
-                True, cfg.crop_packing,
+                True, cfg.crop_packing, cfg.bucket_merge,
             )
             loss, _ = dino_loss(
                 student_logits,

@@ -238,3 +238,21 @@ def test_crop_packing_matches_unpacked():
     np.testing.assert_allclose(
         float(m_p["loss"]), float(m_u["loss"]), rtol=1e-3
     )
+
+
+def test_bucket_merge_matches_unmerged():
+    """bucket_merge=True (merged-GEMM student forward) must reproduce the
+    per-bucket step exactly (no drop-path, so rng-consumption differences
+    are inert). Exact f32 equivalence of the forward itself is covered by
+    test_vit.py::test_multi_forward_matches_separate."""
+    cfg_m = dataclasses.replace(TINY, drop_path_rate=0.0, bucket_merge=True)
+    cfg_u = dataclasses.replace(TINY, drop_path_rate=0.0, bucket_merge=False)
+    sch = _schedules(cfg_m)
+    g, locals_ = _batch()
+    s0 = init_dino_train_state(jax.random.PRNGKey(0), cfg_m)
+    s1 = jax.tree_util.tree_map(jnp.copy, s0)
+    _, m_m = dino_train_step(s0, g, locals_, sch, cfg_m)
+    _, m_u = dino_train_step(s1, g, locals_, sch, cfg_u)
+    np.testing.assert_allclose(
+        float(m_m["loss"]), float(m_u["loss"]), rtol=1e-3
+    )

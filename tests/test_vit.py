@@ -187,3 +187,67 @@ def test_packed_forward_per_segment_drop_path(tiny):
     # and differs from the no-dropout forward (dropout is actually applied)
     ga, _ = vit.vit_forward_packed(params, xa, xb, cfg_dp)
     assert not np.allclose(np.asarray(fa), np.asarray(ga), atol=1e-4)
+
+
+def test_multi_forward_matches_separate(tiny):
+    """Merged-bucket forward (all dense GEMMs over one concatenated token
+    stream, vit_forward_multi) must equal per-bucket forwards exactly —
+    every dense op is row-independent and attention sees only its own
+    bucket's rows."""
+    cfg, params = tiny
+    key = jax.random.PRNGKey(11)
+    xs = [
+        jax.random.uniform(jax.random.fold_in(key, i), (b, s, s, 3))
+        for i, (b, s) in enumerate([(4, 32), (2, 24), (3, 16)])
+    ]
+    merged = vit.vit_forward_multi(params, xs, cfg)
+    for x, m in zip(xs, merged):
+        r = vit.vit_forward(params, x, cfg)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(r), atol=2e-5)
+
+
+def test_multi_forward_grads_match_separate(tiny):
+    """Gradients through the merged stream must match the per-bucket
+    composition (the training path's actual contract)."""
+    cfg, params = tiny
+    key = jax.random.PRNGKey(12)
+    xs = [
+        jax.random.uniform(jax.random.fold_in(key, i), (b, s, s, 3))
+        for i, (b, s) in enumerate([(2, 32), (2, 16)])
+    ]
+
+    def loss_sep(p):
+        return sum(vit.vit_forward(p, x, cfg).sum() for x in xs)
+
+    def loss_mer(p):
+        return sum(o.sum() for o in vit.vit_forward_multi(p, xs, cfg))
+
+    g1 = jax.grad(loss_sep)(params)
+    g2 = jax.grad(loss_mer)(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_multi_forward_drop_path(tiny):
+    """Merged DropPath: deterministic given rng, applied (differs from the
+    no-drop forward), and per-(bucket, sample) independent."""
+    import dataclasses as dc
+
+    cfg, params = tiny
+    cfg_dp = dc.replace(cfg, drop_path_rate=0.5)
+    key = jax.random.PRNGKey(13)
+    xs = [
+        jax.random.uniform(jax.random.fold_in(key, i), (8, s, s, 3))
+        for i, s in enumerate([32, 16])
+    ]
+    rng = jax.random.PRNGKey(14)
+    a1 = vit.vit_forward_multi(params, xs, cfg_dp, rng, False)
+    a2 = vit.vit_forward_multi(params, xs, cfg_dp, rng, False)
+    for u, v in zip(a1, a2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-6)
+    b = vit.vit_forward_multi(params, xs, cfg_dp)
+    assert not np.allclose(np.asarray(a1[0]), np.asarray(b[0]), atol=1e-4)
