@@ -96,3 +96,158 @@ def dino_step_flops_per_image(
 
 def mfu(img_per_sec: float, flops_per_image: int, peak_flops: float) -> float:
     return img_per_sec * flops_per_image / peak_flops
+
+
+# ---------------------------------------------------------------------------
+# Arch-agnostic FLOP counting by walking the jaxpr (r3 verdict #2: the
+# analytic model above covers only the ViT shape; conv/Swin/XCiT rows need
+# a FLOP model too or their img/s numbers are unfalsifiable as good-or-bad).
+#
+# Why not XLA's HloCostAnalysis: it counts a `lax.scan` body ONCE, not
+# x trip-count (measured: 0.089x the analytic ViT number — exactly the
+# 12-layer scan undercount), and its number includes elementwise ops the
+# MFU convention excludes. Walking the jaxpr counts dot_general /
+# conv_general_dilated only — the convention stated at the top of this
+# file — with loop bodies multiplied by their trip counts.
+# ---------------------------------------------------------------------------
+
+
+def _dot_flops(eqn) -> int:
+    (lhs, rhs) = (v.aval for v in eqn.invars[:2])
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    k = 1
+    for d in lc:
+        k *= lhs.shape[d]
+    b = 1
+    for d in lb:
+        b *= lhs.shape[d]
+    m = 1
+    for d in range(len(lhs.shape)):
+        if d not in lc and d not in lb:
+            m *= lhs.shape[d]
+    n = 1
+    for d in range(len(rhs.shape)):
+        if d not in rc and d not in rb:
+            n *= rhs.shape[d]
+    return 2 * b * m * n * k
+
+
+def _conv_flops(eqn) -> int:
+    rhs = eqn.invars[1].aval
+    out = eqn.outvars[0].aval
+    dn = eqn.params["dimension_numbers"]
+    groups = eqn.params.get("feature_group_count", 1)
+    k_spatial = 1
+    for d in dn.rhs_spec[2:]:
+        k_spatial *= rhs.shape[d]
+    c_in = rhs.shape[dn.rhs_spec[1]]  # already per-group
+    n_out = 1
+    for s in out.shape:
+        n_out *= s
+    return 2 * n_out * k_spatial * c_in
+
+
+def _count_jaxpr(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            total += _dot_flops(eqn)
+        elif name == "conv_general_dilated":
+            total += _conv_flops(eqn)
+        elif name == "scan":
+            total += eqn.params["length"] * _count_jaxpr(
+                eqn.params["jaxpr"].jaxpr
+            )
+        elif name == "while":
+            # bounded only if the body runs once per iteration; models here
+            # don't use while loops on the FLOP path — count body once
+            total += _count_jaxpr(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max(
+                _count_jaxpr(b.jaxpr) for b in eqn.params["branches"]
+            )
+        else:
+            # recurse into any wrapped sub-jaxpr (pjit, remat/checkpoint,
+            # custom_vjp/jvp, closed_call...). pallas_call's kernel jaxpr is
+            # deliberately NOT descended into: count attention via the
+            # 'dense' impl instead (encoder_fwd_flops_per_image does).
+            if name == "pallas_call":
+                continue
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    j = v.jaxpr if hasattr(v.jaxpr, "eqns") else v
+                    total += _count_jaxpr(j)
+                elif hasattr(v, "eqns"):
+                    total += _count_jaxpr(v)
+    return total
+
+
+def count_matmul_flops(fn, *args) -> int:
+    """Matmul/conv model FLOPs of ``fn(*args)`` (2*m*k*n per dot, 2x MACs
+    per conv), loop bodies multiplied by trip count, elementwise excluded."""
+    import jax
+
+    return _count_jaxpr(jax.make_jaxpr(fn)(*args).jaxpr)
+
+
+def encoder_fwd_flops_per_image(
+    arch: str,
+    img_size: int,
+    patch_size: int = 16,
+    out_dim: int = 65536,
+) -> int:
+    """One image's forward FLOPs through encoder + DINO head at one crop
+    size, counted from the compiled HLO (any registered arch)."""
+    import jax.numpy as jnp
+
+    from dinomc_tpu.models.dino_head import (
+        DINOHeadConfig, dino_head_forward, init_dino_head,
+    )
+    from dinomc_tpu.models.encoders import EncoderConfig
+
+    import jax
+
+    enc = EncoderConfig(
+        arch=arch, patch_size=patch_size, img_size=img_size,
+        compute_dtype=jnp.float32,
+    )
+    hcfg = DINOHeadConfig(in_dim=enc.embed_dim, out_dim=out_dim,
+                          compute_dtype=jnp.float32)
+    B = 2  # batch amortizes per-image constants; BN stats need B >= 2
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params, state = enc.init(jax.random.PRNGKey(0))
+        head = init_dino_head(jax.random.PRNGKey(1), hcfg)
+        x = jnp.zeros((B, img_size, img_size, 3), jnp.float32)
+
+        def fwd(params, head, state, x):
+            f, _ = enc.apply(params, state, x, train=enc.has_bn)
+            return dino_head_forward(head, f, hcfg)
+
+        # tracing under the cpu default device makes attn_impl='auto'
+        # resolve to 'dense', so attention matmuls land in the jaxpr (the
+        # Pallas kernels are custom calls the counter cannot see into)
+        total = count_matmul_flops(fwd, params, head, state, x)
+    return total // B
+
+
+def arch_step_flops_per_image(
+    arch: str,
+    patch_size: int = 16,
+    global_size: int = 224,
+    local_sizes: Sequence[int] = (184, 164, 144, 124, 104, 84),
+    out_dim: int = 65536,
+) -> int:
+    """Model FLOPs of ONE image's share of the DINO-MC train step for ANY
+    encoder arch (same convention as ``dino_step_flops_per_image``:
+    teacher fwd on 2 globals + student 3x fwd on all crops; optimizer/EMA
+    elementwise excluded; remat recompute not counted)."""
+
+    def fwd(size: int) -> int:
+        return encoder_fwd_flops_per_image(arch, size, patch_size, out_dim)
+
+    g = fwd(global_size)
+    teacher = 2 * g
+    student = 3 * (2 * g + sum(fwd(s) for s in local_sizes))
+    return teacher + student

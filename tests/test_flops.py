@@ -44,3 +44,64 @@ def test_step_composition():
 
 def test_mfu():
     assert flops.mfu(100.0, 1e12, 2e14) == 0.5
+
+
+def test_jaxpr_counter_matches_analytic_vit():
+    """The arch-agnostic jaxpr matmul counter must agree with the analytic
+    ViT model exactly (same convention: dots only, 2*m*k*n)."""
+    a = flops.vit_forward_flops(
+        flops.vit_tokens(64, 8), 384, 12, 8
+    ) + flops.dino_head_forward_flops(384)
+    x = flops.encoder_fwd_flops_per_image("vit_small", 64, 8)
+    assert abs(x - a) / a < 1e-6
+
+
+def test_jaxpr_counter_golden_matmul():
+    import jax.numpy as jnp
+
+    def f(a, b):
+        return a @ b
+
+    got = flops.count_matmul_flops(
+        f, jnp.zeros((8, 4)), jnp.zeros((4, 6))
+    )
+    assert got == 2 * 8 * 4 * 6
+
+
+def test_jaxpr_counter_scan_multiplies_by_length():
+    import jax
+    import jax.numpy as jnp
+
+    w = jnp.zeros((5, 4, 4))
+
+    def f(x, w):
+        def body(x, wi):
+            return x @ wi, None
+        y, _ = jax.lax.scan(body, x, w)
+        return y
+
+    got = flops.count_matmul_flops(f, jnp.zeros((3, 4)), w)
+    assert got == 5 * 2 * 3 * 4 * 4
+
+
+def test_jaxpr_counter_conv_golden():
+    import jax
+    import jax.numpy as jnp
+
+    # (1, 8, 8, 3) conv 3x3 -> 16 channels, SAME: 2*64*16*9*3 per image
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    got = flops.count_matmul_flops(
+        f, jnp.zeros((1, 8, 8, 3)), jnp.zeros((3, 3, 3, 16))
+    )
+    assert got == 2 * 8 * 8 * 16 * 9 * 3
+
+
+def test_resnet50_fwd_flops_matches_published():
+    # torchvision RN50@224 is 4.09 GMACs ~= 8.2 GFLOPs (+ DINO head)
+    f = flops.encoder_fwd_flops_per_image("resnet50", 224)
+    assert 7.5e9 < f < 9.5e9
