@@ -72,9 +72,17 @@ def run(args) -> float:
     )
     from dinomc_tpu.utils.logging import JsonlLogger, MetricLogger
 
+    from dinomc_tpu.core.mesh import make_mesh, replicate, shard_batch
+
     resolve_platform()
     set_seed(args.seed)
     ensure_dir(args.output_dir)
+
+    # Data-parallel fine-tune over all chips (the reference runs this under
+    # DDP with world-size lr scaling — same pattern as main_eurosat.py):
+    # params replicated, batches sharded over the data axis.
+    mesh = make_mesh()
+    global_batch = args.batch_size_per_gpu * len(jax.devices())
 
     def load_ds(path):
         if path == "synthetic":
@@ -89,12 +97,13 @@ def run(args) -> float:
     if args.train_frac < 1.0:  # BigEarthNet-10% path
         idx = random_subset(len(train_ds), args.train_frac, seed=args.seed)
 
-    def batches(ds, indices, shuffle, seed):
+    def batches(ds, indices, shuffle, seed, drop_last=True):
         order = np.array(indices)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        bs = args.batch_size_per_gpu
-        for s in range(0, len(order) - len(order) % bs, bs):
+        bs = global_batch
+        end = len(order) - len(order) % bs if drop_last else len(order)
+        for s in range(0, end, bs):
             items = [ds[int(i)] for i in order[s : s + bs]]
             yield np.stack([x for x, _ in items]), np.stack([y for _, y in items])
 
@@ -109,21 +118,25 @@ def run(args) -> float:
     state = init_cls_train_state(
         jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
     )
+    state = replicate(mesh, state)
 
     def evaluate() -> float:
         scores, labels = [], []
-        for images, y in batches(val_ds, np.arange(len(val_ds)), False, 0):
+        for images, y in batches(val_ds, np.arange(len(val_ds)), False, 0,
+                                 drop_last=False):
+            images = jnp.asarray(images)
+            if len(images) % len(jax.devices()) == 0:  # remainder: unsharded
+                images = shard_batch(mesh, images)
             logits = cls_predict(
-                state.params, state.bn_state, aug.normalize(jnp.asarray(images)), cfg
+                state.params, state.bn_state, aug.normalize(images), cfg
             )
             scores.append(np.asarray(jax.nn.sigmoid(logits)))
             labels.append(y)
         return micro_map(np.concatenate(scores), np.concatenate(labels)) * 100.0
 
-    niter = max(len(idx) // args.batch_size_per_gpu, 1)
+    niter = max(len(idx) // global_batch, 1)
     lrs = cosine_scheduler(
-        linear_scaled_lr(args.lr, args.batch_size_per_gpu * len(jax.devices())),
-        1e-6, args.epochs, niter,
+        linear_scaled_lr(args.lr, global_batch), 1e-6, args.epochs, niter,
     )
     from dinomc_tpu.ckpt.orbax_io import CheckpointManager
 
@@ -146,7 +159,9 @@ def run(args) -> float:
             f"Epoch [{epoch}]", total=niter,
         ):
             rng, k = jax.random.split(rng)
-            x = aug.random_hflip(k, jnp.asarray(images))
+            # shard BEFORE the augment chain so flips run data-parallel too
+            x, y = shard_batch(mesh, (jnp.asarray(images), np.asarray(y)))
+            x = aug.random_hflip(k, x)
             x = aug.normalize(x)
             state, m = cls_train_step(
                 state, x, jnp.asarray(y),

@@ -58,11 +58,12 @@ class _SyntheticCls:
         return rng.rand(self.size, self.size, 3).astype(np.float32), i % self.C
 
 
-def _batches(ds, batch_size, shuffle, seed):
+def _batches(ds, batch_size, shuffle, seed, drop_last=True):
     order = np.arange(len(ds))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
-    for s in range(0, len(order) - len(order) % batch_size, batch_size):
+    end = len(order) - len(order) % batch_size if drop_last else len(order)
+    for s in range(0, end, batch_size):
         items = [ds[int(i)] for i in order[s : s + batch_size]]
         yield np.stack([x for x, _ in items]), np.asarray([y for _, y in items])
 
@@ -89,9 +90,20 @@ def run(args) -> float:
     )
     from dinomc_tpu.utils.logging import JsonlLogger, MetricLogger
 
+    from dinomc_tpu.core.mesh import make_mesh, replicate, shard_batch
+
     resolve_platform()
     set_seed(args.seed)
     ensure_dir(args.output_dir)
+
+    # Data-parallel fine-tune over all chips (reference runs this under DDP
+    # with world-size lr scaling, main_eurosat.py:25,101-106): params
+    # replicated, batches sharded over the data axis, gradient reduction
+    # emitted by GSPMD as ICI collectives. Convnet BN batch stats reduce
+    # globally under SPMD (SyncBN semantics, tests/test_syncbn.py).
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    global_batch = args.batch_size_per_gpu * n_dev
 
     if args.data_path == "synthetic":
         train_ds = _SyntheticCls(64, 64, args.num_labels)
@@ -113,6 +125,7 @@ def run(args) -> float:
     state = init_cls_train_state(
         jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
     )
+    state = replicate(mesh, state)
 
     def val_images(images):
         x = jnp.asarray(images)
@@ -150,7 +163,11 @@ def run(args) -> float:
     def evaluate() -> float:
         cm = jnp.zeros((args.num_labels, args.num_labels), jnp.int32)
         top1s = []
-        for images, labels in _batches(val_ds, args.batch_size_per_gpu, False, 0):
+        for images, labels in _batches(val_ds, global_batch, False, 0,
+                                       drop_last=False):
+            images = jnp.asarray(images)
+            if len(images) % n_dev == 0:  # remainder batch runs unsharded
+                images = shard_batch(mesh, images)
             logits = cls_predict(state.params, state.bn_state, val_images(images), cfg)
             y = jnp.asarray(labels)
             top1s.append(float(M.topk_accuracy(logits, y, (1,))[1]))
@@ -192,8 +209,7 @@ def run(args) -> float:
             state = restored
         return evaluate()
 
-    global_batch = args.batch_size_per_gpu * len(jax.devices())
-    niter = max(sum(1 for _ in _batches(train_ds, args.batch_size_per_gpu, False, 0)), 1)
+    niter = max(sum(1 for _ in _batches(train_ds, global_batch, False, 0)), 1)
     lrs = cosine_scheduler(
         linear_scaled_lr(args.lr, global_batch), 1e-6, args.epochs, niter
     )
@@ -213,11 +229,14 @@ def run(args) -> float:
     for epoch in range(start_epoch, args.epochs):
         ml = MetricLogger()
         for images, labels in ml.log_every(
-            _batches(train_ds, args.batch_size_per_gpu, True, epoch),
+            _batches(train_ds, global_batch, True, epoch),
             args.print_freq, f"Epoch [{epoch}]", total=niter,
         ):
             rng, k1, k2 = jax.random.split(rng, 3)
-            x = jnp.asarray(images)
+            # shard BEFORE the augment chain so crops/flips run
+            # data-parallel too
+            x, labels = shard_batch(mesh, (jnp.asarray(images),
+                                           np.asarray(labels)))
             # RandomResizedCrop(224)+flip train transform (main_eurosat.py:57-63)
             x = aug.random_resized_crop(k1, x, train_size, (0.08, 1.0))
             x = aug.random_hflip(k2, x)

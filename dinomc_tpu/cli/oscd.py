@@ -78,9 +78,18 @@ def run(args) -> float:
     )
     from dinomc_tpu.utils.logging import JsonlLogger, MetricLogger
 
+    from dinomc_tpu.core.mesh import make_mesh, replicate, shard_batch
+
     resolve_platform()
     set_seed(args.seed)
     ensure_dir(args.output_dir)
+
+    # Data-parallel over all chips: params replicated, tile batches sharded
+    # over the data axis (the reference trains OSCD single-process; this is
+    # the same mesh pattern as cli/eurosat.py). --batch_size is per chip.
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    global_batch = args.batch_size * n_dev
 
     if args.data_path == "synthetic":
         ds = _SyntheticPairs(32)
@@ -114,16 +123,24 @@ def run(args) -> float:
             train_idx = np.arange(len(ds) - n_val)
             val_idx = np.arange(len(ds) - n_val, len(ds))
 
-    def batches(ds, indices, shuffle, seed):
+    def batches(ds, indices, shuffle, seed, trim=True):
         order = np.array(indices)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        bs = args.batch_size
+        bs = global_batch
         for s in range(0, max(len(order) - len(order) % bs, bs), bs):
             chunk = order[s : s + bs]
+            if trim:  # train batches must split evenly over the data axis
+                chunk = chunk[: len(chunk) - len(chunk) % n_dev]
             if len(chunk) == 0:
                 break
             yield collate_pairs([ds[int(i)] for i in chunk])
+
+    def shard_if_divisible(tree):
+        """Shard over the data axis when the batch divides the mesh; run a
+        remainder batch unsharded (eval must score every sample)."""
+        n = len(jax.tree_util.tree_leaves(tree)[0])
+        return shard_batch(mesh, tree) if n % n_dev == 0 else tree
 
     cfg = OSCDConfig(
         model=SiameseConfig(arch=args.backbone, freeze_encoder=args.freeze_encoder),
@@ -148,6 +165,7 @@ def run(args) -> float:
     state = init_oscd_train_state(
         jax.random.PRNGKey(args.seed), cfg, pretrained, pretrained_bn
     )
+    state = replicate(mesh, state)
 
     ckpt = CheckpointManager(f"{args.output_dir}/checkpoints", max_to_keep=1,
                              best_mode="max", metric_name="f1")
@@ -161,10 +179,9 @@ def run(args) -> float:
             panel_dir = ensure_dir(f"{args.output_dir}/panels/epoch_{epoch:03d}")
         n_panels = 0
         tp = fp = fn = 0.0
-        for x1, x2, m in batches(val_ds, val_idx, False, 0):
-            logits = oscd_predict(
-                state.params, state.bn_state, jnp.asarray(x1), jnp.asarray(x2), cfg
-            )
+        for x1, x2, m in batches(val_ds, val_idx, False, 0, trim=False):
+            x1d, x2d = shard_if_divisible((jnp.asarray(x1), jnp.asarray(x2)))
+            logits = oscd_predict(state.params, state.bn_state, x1d, x2d, cfg)
             pred = np.asarray(jax.nn.sigmoid(logits)) > 0.5
             gt = m > 0.5
             tp += float((pred & gt).sum())
@@ -201,11 +218,13 @@ def run(args) -> float:
         ml = MetricLogger()
         for x1, x2, m in ml.log_every(
             batches(train_ds, train_idx, True, epoch), args.print_freq, f"Epoch [{epoch}]",
-            total=max(len(train_idx) // args.batch_size, 1),
+            total=max(len(train_idx) // global_batch, 1),
         ):
+            x1d, x2d, md = shard_batch(
+                mesh, (jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m))
+            )
             state, metrics = oscd_train_step(
-                state, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
-                jnp.float32(lr), cfg,
+                state, x1d, x2d, md, jnp.float32(lr), cfg,
             )
             it += 1
             if it % args.print_freq == 0:

@@ -42,9 +42,16 @@ class ClsConfig:
     momentum: float = 0.9
     label_smoothing: float = 0.0
     freeze_backbone: bool = False  # True => linear-probe-style training
+    # bf16 is the TPU training path; "float32" for bit-level parity tests
+    # (same convention as DinoConfig.compute_dtype)
+    compute_dtype: str = "bfloat16"
 
     def encoder(self) -> EncoderConfig:
-        return EncoderConfig(arch=self.arch, patch_size=self.patch_size)
+        return EncoderConfig(
+            arch=self.arch,
+            patch_size=self.patch_size,
+            compute_dtype=jnp.dtype(self.compute_dtype).type,
+        )
 
 
 @struct.dataclass
