@@ -37,6 +37,10 @@ class EncoderConfig:
     # parity tests (tests/test_step_oracle.py) and strict-import paths.
     compute_dtype: Any = jnp.bfloat16
     gelu_approx: bool = True  # ViT only; False = exact erf (torch parity)
+    # ViT attention dispatch (models/vit.ViTConfig.attn_impl): 'auto' picks
+    # the Pallas kernels on TPU; 'dense' forces the XLA einsum form (used
+    # by the FLOP counter, whose jaxpr walk cannot see into pallas_call)
+    attn_impl: str = "auto"
 
     @property
     def is_vit(self) -> bool:
@@ -75,6 +79,7 @@ class EncoderConfig:
             remat_policy=self.remat_policy,
             compute_dtype=self.compute_dtype,
             gelu_approx=self.gelu_approx,
+            attn_impl=self.attn_impl,
         )
 
     def _rn_cfg(self) -> rn.ResNetConfig:

@@ -39,6 +39,12 @@ class XCiTConfig:
     layernorm_eps: float = 1e-6
     pos_hidden: int = 32
     compute_dtype: Any = jnp.bfloat16
+    # Rematerialize each block in backward. Without it the layer scan saves
+    # every (B, N, 3D) qkv for the backward pass, which OOMs a v5e-16GB at
+    # patch 8 (784 tokens/global-crop) in the multi-crop DINO step — the
+    # r3 "p8 compiler crash" bisected to this OOM (scripts/xcit_p8_bisect.py)
+    # once the relay's compiler stopped dying on the report.
+    remat: bool = True
 
 
 def xcit_small_12(patch_size: int = 16, **kw) -> XCiTConfig:
@@ -253,7 +259,7 @@ def xcit_forward(
 
     eps = cfg.layernorm_eps
 
-    def body(t, bp):
+    def block(t, bp):
         y1 = _ln(t, bp["norm1"], eps)
         t = t + bp["gamma1"].astype(dt) * _xca(y1, bp, cfg.num_heads, dt)
         y3 = _ln(t, bp["norm3"], eps)
@@ -263,7 +269,13 @@ def xcit_forward(
         m = jax.nn.gelu(m, approximate=False)
         m = _lin(m, {"kernel": bp["fc2"]["kernel"], "bias": bp["fc2"]["bias"]})
         t = t + bp["gamma2"].astype(dt) * m
-        return t, None
+        return t
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+
+    def body(t, bp):
+        return block(t, bp), None
 
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
 

@@ -210,7 +210,7 @@ def encoder_fwd_flops_per_image(
 
     enc = EncoderConfig(
         arch=arch, patch_size=patch_size, img_size=img_size,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, attn_impl="dense",
     )
     hcfg = DINOHeadConfig(in_dim=enc.embed_dim, out_dim=out_dim,
                           compute_dtype=jnp.float32)
@@ -225,9 +225,6 @@ def encoder_fwd_flops_per_image(
             f, _ = enc.apply(params, state, x, train=enc.has_bn)
             return dino_head_forward(head, f, hcfg)
 
-        # tracing under the cpu default device makes attn_impl='auto'
-        # resolve to 'dense', so attention matmuls land in the jaxpr (the
-        # Pallas kernels are custom calls the counter cannot see into)
         total = count_matmul_flops(fwd, params, head, state, x)
     return total // B
 

@@ -35,8 +35,8 @@ ARCH_SETUPS = {
     "resnet50": dict(batch=24, optimizer="lars"),
     "wide_resnet50_2": dict(batch=16, optimizer="lars"),
     "swin_t": dict(batch=16, optimizer="adamw"),
-    # patch 16: the p8 step deterministically crashes the axon relay's TPU
-    # compiler subprocess (docs/performance.md "Known platform issue")
+    # p16 is the table default; p8 also trains since XCiTConfig.remat
+    # (72.2 img/s at B=16 — docs/performance.md per-arch table)
     "xcit_small_12": dict(batch=8, optimizer="adamw", patch_size=16),
 }
 

@@ -56,13 +56,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
-                seed: int = 0) -> None:
-    """Write the synthetic world: pretrain corpus + seg train/val/test."""
+                seed: int = 0, family: str = "v1") -> None:
+    """Write the synthetic world: pretrain corpus + seg train/val/test.
+    ``family='v2'``: hardened second-order textures (utils/synthetic)."""
     from PIL import Image
 
     from dinomc_tpu.data.seg_datasets import SPECS, class_to_rgb
-    from dinomc_tpu.utils.synthetic import colorize, make_seg_scene, texture
+    from dinomc_tpu.utils.synthetic import TEXTURES, colorize, make_seg_scene
 
+    gen = TEXTURES[family]
     spec = SPECS["uavid"]
     rng = np.random.RandomState(seed)
 
@@ -71,7 +73,7 @@ def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
     for i in range(corpus_n):
         d = os.path.join(corpus, f"{i:05d}")
         os.makedirs(d, exist_ok=True)
-        img = colorize(texture(i % 8, 128, rng), rng)
+        img = colorize(gen(i % 8, 128, rng), rng)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(d, "t0.png")
         )
@@ -87,7 +89,7 @@ def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
             os.makedirs(os.path.join(root, split, sub), exist_ok=True)
         half = scene_size // 2
         for i in range(k):
-            img, mask = make_seg_scene(scene_size, rng)
+            img, mask = make_seg_scene(scene_size, rng, family=family)
             if split == "test":
                 Image.fromarray((img * 255).astype(np.uint8)).save(
                     os.path.join(root, split, "images", f"s{i:04d}.png")
@@ -141,6 +143,12 @@ def main() -> int:
                          "control (catches catastrophic collapse even "
                          "where the toy-world readouts saturate — "
                          "docs/quality.md)")
+    ap.add_argument("--world", default="v1", choices=["v1", "v2"],
+                    help="texture world: v1 = first-order families; v2 = "
+                         "hardened second-order relations where random "
+                         "features sit at chance, making the TRAINED "
+                         "readouts (dense probe / decoder fine-tune) "
+                         "discriminative (r3 verdict weak #3)")
     ap.add_argument("--smoke", action="store_true",
                     help="wiring check only: skip the quality assertions")
     ap.add_argument("--reuse", action="store_true",
@@ -161,7 +169,8 @@ def main() -> int:
 
     # ------------------------------------------------------------ world --
     if not (args.reuse and os.path.isdir(os.path.join(work, "corpus"))):
-        build_world(work, args.corpus, args.scenes, args.scene_size)
+        build_world(work, args.corpus, args.scenes, args.scene_size,
+                    family=args.world)
 
     def _args(mod, overrides):
         a = mod.get_args_parser().parse_args([])
@@ -332,7 +341,8 @@ def _feature_probes(args, work, pth):
     # texture frequency shift); at 96 px the structure is unambiguous.
     PS = 96 if not args.smoke else S
     n_img = 8 if args.smoke else 24
-    images, labels = make_texture_dataset(n_img, PS, 8, seed=123)
+    images, labels = make_texture_dataset(n_img, PS, 8, seed=123,
+                                          family=args.world)
     n = len(images)
     n_train = int(n * 0.8)
 

@@ -445,3 +445,30 @@ def test_eurosat_cli_evaluate_torch_checkpoint(tmp_path, capsys):
     acc = mod.run(args)
     assert 0.0 <= acc <= 100.0
     assert "loaded fine-tuned torch model" in capsys.readouterr().out
+
+
+def test_oscd_learning_script_smoke(tmp_path):
+    """scripts/oscd_learning.py wiring: world build (change pairs on disk
+    in OSCD city layout), both fine-tune legs, trajectory artifact."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [_sys.executable, os.path.join(_REPO, "scripts", "oscd_learning.py"),
+         "--workdir", str(tmp_path), "--cities", "2", "--val_cities", "1",
+         "--scene", "96", "--epochs", "2", "--batch_size", "2",
+         "--backbone", "resnet_test", "--pretrain_steps", "0", "--smoke"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=_REPO,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    with open(tmp_path / "oscd_learning.json") as f:
+        result = json.load(f)
+    assert len(result["trajectory_f1_pretrained"]) == 2
+    assert "f1_random_control" in result
+    # the world is on disk in OSCD city layout
+    assert os.path.exists(tmp_path / "oscd" / "syncity_000" / "cm.png")

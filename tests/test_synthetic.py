@@ -43,3 +43,38 @@ def test_seg_scene_mask_matches_classes():
     assert mask.min() >= 0 and mask.max() < NUM_CLASSES
     # every Voronoi cell got painted (no all-zero holes)
     assert img.std() > 0.05
+
+
+def test_texture_v2_shapes_and_class_coverage():
+    """Hardened second-order families: valid range, all 8 classes render,
+    deterministic given the rng state."""
+    import numpy as np
+
+    from dinomc_tpu.utils.synthetic import texture_v2
+
+    for c in range(8):
+        t = texture_v2(c, 48, np.random.RandomState(c))
+        assert t.shape == (48, 48)
+        assert t.min() >= 0.0 and t.max() <= 1.0
+        assert t.std() > 0.05  # actually textured, not constant
+    a = texture_v2(3, 32, np.random.RandomState(7))
+    b = texture_v2(3, 32, np.random.RandomState(7))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_texture_v2_first_order_stats_uninformative():
+    """The class signal must be second-order: per-image mean/std (what a
+    trivial first-order readout sees) should not separate classes — their
+    between-class spread stays within the within-class spread."""
+    import numpy as np
+
+    from dinomc_tpu.utils.synthetic import texture_v2
+
+    rng = np.random.RandomState(0)
+    means = np.zeros((8, 12))
+    for c in range(8):
+        for i in range(12):
+            means[c, i] = texture_v2(c, 48, rng).mean()
+    between = means.mean(axis=1).std()
+    within = means.std(axis=1).mean()
+    assert between < within
