@@ -91,13 +91,23 @@ class EncoderConfig:
         if self.has_bn:
             return rn.init_resnet(key, self._rn_cfg())
         if self.arch == "swin_t":
-            return sw.init_swin(key, sw.swin_t(compute_dtype=self.compute_dtype)), {}
+            return sw.init_swin(key, self._swin_cfg()), {}
         if self.arch.startswith("xcit"):
-            cfg = xc.XCIT_FACTORIES[self.arch](
-                patch_size=self.patch_size, compute_dtype=self.compute_dtype
-            )
-            return xc.init_xcit(key, cfg), {}
+            return xc.init_xcit(key, self._xcit_cfg()), {}
         raise ValueError(self.arch)
+
+    def _swin_cfg(self) -> sw.SwinConfig:
+        return sw.swin_t(
+            compute_dtype=self.compute_dtype,
+            drop_path_rate=self.drop_path_rate,
+        )
+
+    def _xcit_cfg(self) -> "xc.XCiTConfig":
+        return xc.XCIT_FACTORIES[self.arch](
+            patch_size=self.patch_size,
+            compute_dtype=self.compute_dtype,
+            drop_path_rate=self.drop_path_rate,
+        )
 
     def apply(
         self,
@@ -115,13 +125,12 @@ class EncoderConfig:
             return rn.resnet_forward(params, state, x, self._rn_cfg(), train)
         if self.arch == "swin_t":
             return sw.swin_forward(
-                params, x, sw.swin_t(compute_dtype=self.compute_dtype), not train, rng
+                params, x, self._swin_cfg(), not train, rng
             ), state
         if self.arch.startswith("xcit"):
-            cfg = xc.XCIT_FACTORIES[self.arch](
-                patch_size=self.patch_size, compute_dtype=self.compute_dtype
-            )
-            return xc.xcit_forward(params, x, cfg, rng, not train), state
+            return xc.xcit_forward(
+                params, x, self._xcit_cfg(), rng, not train
+            ), state
         raise ValueError(self.arch)
 
     def apply_multi(

@@ -34,6 +34,12 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     layernorm_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # Stochastic depth, linear ramp over all blocks (torchvision swin_t
+    # hard-codes stochastic_depth_prob=0.2 — the reference's swin student
+    # trains with it implicitly, main_dino_mc.py:224-227; here it follows
+    # the same --drop_path_rate flag as every other arch; set 0.2 to
+    # replicate torchvision exactly)
+    drop_path_rate: float = 0.0
 
     @property
     def out_dim(self) -> int:
@@ -173,7 +179,16 @@ def _window_attention(x, bp, heads, w, mask):
     return _lin(out, {"kernel": bp["proj"]["kernel"], "bias": bp["proj"]["bias"]})
 
 
-def _swin_block(x, bp, heads, w, shift, eps):
+def _drop_path(y, keep_p, mask):
+    """Per-sample stochastic depth on one residual branch. ``mask``: (B,)
+    bool keep-decisions; 1/keep_p scaling preserves the expectation."""
+    m = mask.reshape((y.shape[0],) + (1,) * (y.ndim - 1))
+    return jnp.where(m, y * (1.0 / keep_p).astype(y.dtype), jnp.zeros_like(y))
+
+
+def _swin_block(x, bp, heads, w, shift, eps, dp=None):
+    """dp: None, or (keep_prob scalar, (2, B) bool masks) for the two
+    residual branches (independent draws, torchvision StochasticDepth)."""
     B, H, W, C = x.shape
     y = _ln(x, bp["norm1"], eps)
     # pad to window multiples (bottom/right)
@@ -196,9 +211,13 @@ def _swin_block(x, bp, heads, w, shift, eps):
     if shift > 0:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
     y = y[:, :H, :W, :]
+    if dp is not None:
+        y = _drop_path(y, dp[0], dp[1][0])
     x = x + y
     y = _ln(x, bp["norm2"], eps)
     y = _lin(jax.nn.gelu(_lin(y, bp["fc1"]), approximate=False), bp["fc2"])
+    if dp is not None:
+        y = _drop_path(y, dp[0], dp[1][1])
     return x + y
 
 
@@ -224,7 +243,6 @@ def swin_forward(
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Global-pooled embedding (B, out_dim) float32."""
-    del deterministic, rng  # stochastic depth omitted in v0
     B, H, W, _ = x.shape
     p = cfg.patch_size
     dt = cfg.compute_dtype
@@ -236,6 +254,19 @@ def swin_forward(
     ].astype(dt)
     t = _ln(t, params["patch_embed"]["norm"], cfg.layernorm_eps)
 
+    # Stochastic depth: linear ramp 0 -> drop_path_rate over all blocks
+    # (torchvision StochasticDepth schedule), independent per-sample masks
+    # per residual branch, drawn once up front.
+    T_blocks = sum(cfg.depths)
+    use_dp = (not deterministic) and rng is not None and cfg.drop_path_rate > 0
+    if use_dp:
+        rates = jnp.linspace(0.0, cfg.drop_path_rate, T_blocks)
+        keeps = 1.0 - rates
+        dp_masks = jax.random.bernoulli(
+            rng, keeps[:, None, None], (T_blocks, 2, B)
+        )
+
+    blk = 0
     for s, stage in enumerate(params["stages"]):
         heads = cfg.num_heads[s]
         for b, bp in enumerate(stage["blocks"]):
@@ -243,7 +274,11 @@ def swin_forward(
             # shift only makes sense when the map is larger than one window
             if min(t.shape[1], t.shape[2]) <= cfg.window:
                 shift = 0
-            t = _swin_block(t, bp, heads, cfg.window, shift, cfg.layernorm_eps)
+            dp = (keeps[blk], dp_masks[blk]) if use_dp else None
+            t = _swin_block(
+                t, bp, heads, cfg.window, shift, cfg.layernorm_eps, dp
+            )
+            blk += 1
         if "merge" in stage:
             t = _patch_merge(t, stage["merge"], cfg.layernorm_eps)
 

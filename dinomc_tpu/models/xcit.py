@@ -45,6 +45,12 @@ class XCiTConfig:
     # r3 "p8 compiler crash" bisected to this OOM (scripts/xcit_p8_bisect.py)
     # once the relay's compiler stopped dying on the report.
     remat: bool = True
+    # Stochastic depth, CONSTANT rate per layer (official XCiT uses
+    # dpr = [rate] * depth, unlike ViT's linear ramp), applied per sample
+    # to each residual branch (XCA / LPI / MLP, and both cls-attn
+    # branches). The reference's hub student trains with
+    # drop_path_rate=args.drop_path_rate (main_dino_mc.py:219-220).
+    drop_path_rate: float = 0.0
 
 
 def xcit_small_12(patch_size: int = 16, **kw) -> XCiTConfig:
@@ -244,9 +250,30 @@ def xcit_forward(
     deterministic: bool = True,
 ) -> jnp.ndarray:
     """CLS embedding (B, D) float32."""
-    del rng, deterministic  # stochastic depth omitted in v0
     dt = cfg.compute_dtype
     B = x.shape[0]
+    L = cfg.depth
+    use_dp = (not deterministic) and rng is not None and cfg.drop_path_rate > 0
+    keep_p = 1.0 - cfg.drop_path_rate
+    if use_dp:
+        rb, rc = jax.random.split(rng)
+        # (L, 3, B) for the scanned blocks' three residual branches and
+        # (cls_layers, 2, B) for the class-attention blocks
+        blk_masks = jax.random.bernoulli(rb, keep_p, (L, 3, B))
+        cls_masks = jax.random.bernoulli(
+            rc, keep_p, (cfg.cls_attn_layers, 2, B)
+        )
+    else:
+        # all-keep placeholders keep the scan xs structure static
+        blk_masks = jnp.ones((L, 3, B), jnp.bool_)
+        cls_masks = jnp.ones((cfg.cls_attn_layers, 2, B), jnp.bool_)
+
+    def drop(y, mask):
+        if not use_dp:
+            return y
+        m = mask.reshape((B,) + (1,) * (y.ndim - 1))
+        return jnp.where(m, y * jnp.asarray(1.0 / keep_p, y.dtype),
+                         jnp.zeros_like(y))
     y = x.astype(dt)
     for i, conv_p in enumerate(params["stem"]):
         y = _conv(y, conv_p, stride=2)
@@ -259,31 +286,34 @@ def xcit_forward(
 
     eps = cfg.layernorm_eps
 
-    def block(t, bp):
+    def block(t, bp, masks):
         y1 = _ln(t, bp["norm1"], eps)
-        t = t + bp["gamma1"].astype(dt) * _xca(y1, bp, cfg.num_heads, dt)
+        t = t + drop(bp["gamma1"].astype(dt) * _xca(y1, bp, cfg.num_heads, dt),
+                     masks[0])
         y3 = _ln(t, bp["norm3"], eps)
-        t = t + bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt)
+        t = t + drop(bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt),
+                     masks[1])
         y2 = _ln(t, bp["norm2"], eps)
         m = _lin(y2, {"kernel": bp["fc1"]["kernel"], "bias": bp["fc1"]["bias"]})
         m = jax.nn.gelu(m, approximate=False)
         m = _lin(m, {"kernel": bp["fc2"]["kernel"], "bias": bp["fc2"]["bias"]})
-        t = t + bp["gamma2"].astype(dt) * m
+        t = t + drop(bp["gamma2"].astype(dt) * m, masks[2])
         return t
 
     if cfg.remat:
         block = jax.checkpoint(block)
 
-    def body(t, bp):
-        return block(t, bp), None
+    def body(t, xs):
+        bp, masks = xs
+        return block(t, bp, masks), None
 
-    tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
+    tokens, _ = jax.lax.scan(body, tokens, (params["blocks"], blk_masks))
 
     # class attention layers
     cls = jnp.broadcast_to(params["cls_token"].astype(dt), (B, 1, cfg.embed_dim))
     h = cfg.num_heads
     dh = cfg.embed_dim // h
-    for bp in params["cls_blocks"]:
+    for i, bp in enumerate(params["cls_blocks"]):
         full = jnp.concatenate([cls, tokens], axis=1)
         y1 = _ln(full, bp["norm1"], eps)
         qkv = _lin(y1, bp["qkv"]).reshape(B, -1, 3, h, dh)
@@ -293,10 +323,10 @@ def xcit_forward(
         attn = jax.nn.softmax(logits, axis=-1).astype(dt)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, 1, cfg.embed_dim)
         out = _lin(out, bp["proj"])
-        cls = cls + bp["gamma1"].astype(dt) * out
+        cls = cls + drop(bp["gamma1"].astype(dt) * out, cls_masks[i, 0])
         y2 = _ln(cls, bp["norm2"], eps)
         m = _lin(jax.nn.gelu(_lin(y2, bp["fc1"]), approximate=False), bp["fc2"])
-        cls = cls + bp["gamma2"].astype(dt) * m
+        cls = cls + drop(bp["gamma2"].astype(dt) * m, cls_masks[i, 1])
 
     cls = _ln(cls, params["norm"], eps)
     return cls[:, 0].astype(jnp.float32)

@@ -88,52 +88,46 @@ def make_texture_dataset(
 
 
 def texture_v2(c: int, size: int, rng: np.random.RandomState) -> np.ndarray:
-    """Hardened texture family ``c`` (r3 verdict #3): class identity is a
-    SECOND-ORDER cue so random-feature probes stop saturating.
+    """Hardened texture family ``c`` (r3 verdict #3): the v1 family plus a
+    strong CROSS-CLASS distractor overlay, so random-feature readouts stop
+    saturating while the class signal stays DINO-learnable.
 
-    Every sample is a composite of two stripe fields. The class encodes
-    only RELATIONS between them — relative angle (30 vs 90 deg), frequency
-    ratio (1.5x vs 3x) and waveform pairing (sine+sine vs sine+square) —
-    while every first-order statistic a random projection can read
-    (absolute orientation, absolute frequency, phase, mean energy) is
-    drawn fresh per sample. A linear map over random features sees
-    orientation/frequency energy histograms, which are class-independent
-    by construction; separating the classes requires features that BIND
-    the two components. 3 binary relation bits -> 8 classes (the UAVid
-    seg spec size); a low-amplitude speckle overlay adds within-class
-    nuisance.
+    Each sample mixes its class texture (amplitude 1-a) with a random
+    OTHER family's texture (amplitude a ~ U[0.35, 0.48], always
+    subordinate). A readout over random features sees family-energy
+    statistics from BOTH components and must learn to weight the dominant
+    one; learned features that cluster by dominant family separate
+    directly.
 
-    Measured (docs/quality.md r4, 96 px, random vit_tiny): standardized
-    pooled linear probe 48.7% (v1) -> 17.9% (v2), 5-NN 17.9% -> 12.8%
-    (chance 12.5%) — random features stop saturating, making the
-    reference's trained-readout protocol (train_dino_mc_seg.py:27-208)
-    discriminative at toy scale.
+    Design history: a purely second-order world (class = relative
+    angle/frequency-ratio/waveform relations between two stripe fields
+    with ALL first-order statistics randomized) drove random features to
+    chance (probe 17.9%, 5-NN 12.8%) but was NOT learnable by DINO at toy
+    scale — 2000 steps pinned at the ln(K) collapse plateau, k-NN 7.8%
+    (chance 12.5): with no first-order signal the SSL objective has
+    nothing to bootstrap from. The distractor mix is the measured middle
+    ground (96 px, random vit_tiny, standardized pooled linear probe):
+    v1 48.7% / 5-NN 17.9%  ->  v2 35.9% / 5-NN 15.4%, while the dominant
+    component keeps the v1 learning signal. Numbers: docs/quality.md r4.
     """
-    yy, xx = np.mgrid[0:size, 0:size] / size - 0.5
-    rel_angle = (np.pi / 6) if (c & 1) else (np.pi / 2)
-    freq_ratio = 1.5 if (c & 2) else 3.0
-    second_square = bool(c & 4)
+    return _texture_mix(c, size, rng, 0.35, 0.48)
 
-    a1 = rng.rand() * np.pi  # absolute orientation: nuisance
-    f1 = 3.0 + 3.0 * rng.rand()  # absolute frequency: nuisance
-    p1, p2 = rng.rand(2) * 2 * np.pi
-    sgn = -1.0 if rng.rand() < 0.5 else 1.0  # mirror-invariant relation
-    a2 = a1 + sgn * rel_angle
-    f2 = f1 * freq_ratio
 
-    def field(f_, a_, p_, square):
-        w = np.sin(2 * np.pi * f_ * (np.cos(a_) * xx + np.sin(a_) * yy) + p_)
-        if square:
-            w = np.sign(w)
-        return 0.5 + 0.5 * w
+def texture_v2m(c: int, size: int, rng: np.random.RandomState) -> np.ndarray:
+    """Milder distractor mix (a ~ U[0.20, 0.35]) — the intermediate point
+    on the measured discriminativeness <-> learnability frontier
+    (docs/quality.md r4)."""
+    return _texture_mix(c, size, rng, 0.20, 0.35)
 
-    t = 0.5 * field(f1, a1, p1, False) + 0.5 * field(f2, a2, p2, second_square)
-    # within-class nuisance: low-amplitude speckle, random strength
-    t = t + (0.10 * rng.rand()) * rng.rand(size, size)
+
+def _texture_mix(c, size, rng, lo, hi):
+    a = lo + (hi - lo) * rng.rand()
+    d = (c + 1 + rng.randint(NUM_CLASSES - 1)) % NUM_CLASSES
+    t = (1 - a) * texture(c, size, rng) + a * texture(d, size, rng)
     return np.clip(t, 0.0, 1.0)
 
 
-TEXTURES = {"v1": texture, "v2": texture_v2}
+TEXTURES = {"v1": texture, "v2": texture_v2, "v2m": texture_v2m}
 
 
 def make_change_pair(

@@ -56,15 +56,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
-                seed: int = 0, family: str = "v1") -> None:
+                seed: int = 0, family: str = "v1",
+                seg_family: str = "") -> None:
     """Write the synthetic world: pretrain corpus + seg train/val/test.
-    ``family='v2'``: hardened second-order textures (utils/synthetic)."""
+    ``family`` picks the pretrain-corpus textures; ``seg_family`` (default:
+    same) the seg-scene textures — splitting them models the reference's
+    actual transfer setting (SeCo pretrain -> UAVid fine-tune are different
+    distributions) and lets the seg world carry distractor mixes that
+    confound a random backbone's per-token features while the pretrain
+    world stays SSL-learnable (docs/quality.md r4)."""
     from PIL import Image
 
     from dinomc_tpu.data.seg_datasets import SPECS, class_to_rgb
     from dinomc_tpu.utils.synthetic import TEXTURES, colorize, make_seg_scene
 
     gen = TEXTURES[family]
+    seg_family = seg_family or family
     spec = SPECS["uavid"]
     rng = np.random.RandomState(seed)
 
@@ -89,7 +96,7 @@ def build_world(root: str, corpus_n: int, scenes: int, scene_size: int,
             os.makedirs(os.path.join(root, split, sub), exist_ok=True)
         half = scene_size // 2
         for i in range(k):
-            img, mask = make_seg_scene(scene_size, rng, family=family)
+            img, mask = make_seg_scene(scene_size, rng, family=seg_family)
             if split == "test":
                 Image.fromarray((img * 255).astype(np.uint8)).save(
                     os.path.join(root, split, "images", f"s{i:04d}.png")
@@ -143,12 +150,17 @@ def main() -> int:
                          "control (catches catastrophic collapse even "
                          "where the toy-world readouts saturate — "
                          "docs/quality.md)")
-    ap.add_argument("--world", default="v1", choices=["v1", "v2"],
-                    help="texture world: v1 = first-order families; v2 = "
-                         "hardened second-order relations where random "
-                         "features sit at chance, making the TRAINED "
-                         "readouts (dense probe / decoder fine-tune) "
-                         "discriminative (r3 verdict weak #3)")
+    ap.add_argument("--world", default="v1", choices=["v1", "v2", "v2m"],
+                    help="pretrain-corpus texture world: v1 = first-order "
+                         "families; v2/v2m = cross-class distractor mixes "
+                         "(utils/synthetic, r3 verdict weak #3)")
+    ap.add_argument("--seg_world", default="", choices=["", "v1", "v2", "v2m"],
+                    help="seg-scene texture world (default: same as "
+                         "--world). v2 confounds a random backbone's "
+                         "per-token features so the trained readouts "
+                         "discriminate while pretraining stays on the "
+                         "learnable v1 corpus — the reference's own "
+                         "transfer setting (SeCo -> UAVid)")
     ap.add_argument("--smoke", action="store_true",
                     help="wiring check only: skip the quality assertions")
     ap.add_argument("--reuse", action="store_true",
@@ -170,7 +182,7 @@ def main() -> int:
     # ------------------------------------------------------------ world --
     if not (args.reuse and os.path.isdir(os.path.join(work, "corpus"))):
         build_world(work, args.corpus, args.scenes, args.scene_size,
-                    family=args.world)
+                    family=args.world, seg_family=args.seg_world)
 
     def _args(mod, overrides):
         a = mod.get_args_parser().parse_args([])

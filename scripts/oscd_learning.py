@@ -33,7 +33,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_world(root, n_cities, n_val, scene, family, seed=0):
+def build_world(root, n_cities, n_val, scene, family, seed=0,
+                n_seeds=8, n_change=1):
     from PIL import Image
 
     from dinomc_tpu.utils.synthetic import make_change_pair
@@ -44,7 +45,8 @@ def build_world(root, n_cities, n_val, scene, family, seed=0):
         name = f"syncity_{i:03d}"
         d = os.path.join(root, name)
         os.makedirs(d, exist_ok=True)
-        img1, img2, mask = make_change_pair(scene, rng, family=family)
+        img1, img2, mask = make_change_pair(
+            scene, rng, family=family, n_seeds=n_seeds, n_change=n_change)
         Image.fromarray((img1 * 255).astype(np.uint8)).save(f"{d}/t1.png")
         Image.fromarray((img2 * 255).astype(np.uint8)).save(f"{d}/t2.png")
         Image.fromarray((mask * 255).astype(np.uint8)).save(f"{d}/cm.png")
@@ -79,11 +81,21 @@ def main():
     ap.add_argument("--corpus", default=512, type=int)
     ap.add_argument("--pretrain_steps", default=3000, type=int)
     ap.add_argument("--pretrain_batch", default=32, type=int)
-    ap.add_argument("--epochs", default=30, type=int)
+    ap.add_argument("--epochs", default=60, type=int)
+    ap.add_argument("--n_seeds", default=8, type=int,
+                    help="Voronoi cells per city scene")
+    ap.add_argument("--n_change", default=1, type=int,
+                    help="changed cells per pair; 1-of-8 cells ~= 12%% "
+                         "change pixels, keeping the all-positive trivial "
+                         "baseline (F1 ~= 2p/(1+p) ~= 22) far below a real "
+                         "detector -- the first run used 2-of-6 (~33%%) "
+                         "where all-positive scores F1 ~= 50 and the "
+                         "random-control decoder hit it at epoch 1")
     ap.add_argument("--batch_size", default=16, type=int)
     ap.add_argument("--f1_bar", default=40.0, type=float,
                     help="required pretrained-chain F1 (all-positive "
-                         "baseline on this world is ~13)")
+                         "trivial baseline at the default 1-of-8 change "
+                         "fraction is ~22)")
     ap.add_argument("--margin", default=0.0, type=float,
                     help="required pretrained-over-random F1 margin (pts)")
     ap.add_argument("--smoke", action="store_true")
@@ -107,7 +119,8 @@ def main():
         train_c, val_c = names[: args.cities], names[args.cities:]
     else:
         train_c, val_c = build_world(
-            oscd_root, args.cities, args.val_cities, args.scene, args.family
+            oscd_root, args.cities, args.val_cities, args.scene, args.family,
+            n_seeds=args.n_seeds, n_change=args.n_change,
         )
     print(f"world: {len(train_c)} train / {len(val_c)} val cities "
           f"({time.time()-t00:.0f}s)", flush=True)
@@ -187,7 +200,11 @@ def main():
         "trajectory_f1_pretrained": [round(t["f1"], 2) for t in traj_pre],
         "trajectory_f1_random": [round(t["f1"], 2) for t in traj_rand],
         "world": {"family": args.family, "train_cities": len(train_c),
-                  "val_cities": len(val_c), "scene": args.scene},
+                  "val_cities": len(val_c), "scene": args.scene,
+                  "n_seeds": args.n_seeds, "n_change": args.n_change,
+                  "all_positive_f1": round(
+                      200.0 * (args.n_change / args.n_seeds)
+                      / (1.0 + args.n_change / args.n_seeds), 1)},
         "seconds": round(time.time() - t00, 1),
     }
     print(json.dumps(result), flush=True)

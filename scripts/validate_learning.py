@@ -52,7 +52,7 @@ def main():
                          "(main_dino_mc.py:223-229,286) — VERDICT r02 #6 "
                          "asks for end-to-end learning evidence on a BN "
                          "arch, not just the step oracle")
-    ap.add_argument("--world", default="v1", choices=["v1", "v2"],
+    ap.add_argument("--world", default="v1", choices=["v1", "v2", "v2m"],
                     help="texture world: v1 = first-order families, v2 = "
                          "hardened second-order relations "
                          "(utils/synthetic.texture_v2)")

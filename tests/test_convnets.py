@@ -108,3 +108,25 @@ def test_swin_t_full_config():
     cfg = swin.swin_t()
     assert cfg.out_dim == 768
     assert cfg.depths == (2, 2, 6, 2)
+
+
+def test_swin_drop_path():
+    """Swin stochastic depth (torchvision swin_t trains with
+    stochastic_depth_prob=0.2 implicitly in the reference): deterministic
+    given rng, off in eval, applied in train."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dinomc_tpu.models import swin as sw
+
+    cfg = sw.SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                        compute_dtype=jnp.float32, drop_path_rate=0.5)
+    params = sw.init_swin(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+    a = sw.swin_forward(params, x, cfg, deterministic=False, rng=rng)
+    b = sw.swin_forward(params, x, cfg, deterministic=False, rng=rng)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    c = sw.swin_forward(params, x, cfg)
+    assert not np.allclose(np.asarray(a), np.asarray(c), atol=1e-5)

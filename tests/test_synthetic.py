@@ -62,19 +62,34 @@ def test_texture_v2_shapes_and_class_coverage():
     np.testing.assert_array_equal(a, b)
 
 
-def test_texture_v2_first_order_stats_uninformative():
-    """The class signal must be second-order: per-image mean/std (what a
-    trivial first-order readout sees) should not separate classes — their
-    between-class spread stays within the within-class spread."""
+def test_texture_v2_degrades_random_features():
+    """The point of the v2 world (r3 verdict weak #3): a random backbone's
+    frozen features must separate v2 classes WORSE than v1 classes, so the
+    trained-readout instruments stay discriminative. Checked with a tiny
+    random ViT's pooled patch tokens and a 5-NN readout."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from dinomc_tpu.utils.synthetic import texture_v2
+    from dinomc_tpu.eval.knn import knn_accuracy
+    from dinomc_tpu.models import vit
+    from dinomc_tpu.utils.synthetic import make_texture_dataset
 
-    rng = np.random.RandomState(0)
-    means = np.zeros((8, 12))
-    for c in range(8):
-        for i in range(12):
-            means[c, i] = texture_v2(c, 48, rng).mean()
-    between = means.mean(axis=1).std()
-    within = means.std(axis=1).mean()
-    assert between < within
+    cfg = vit.vit_test(patch_size=4, img_size=48, compute_dtype=jnp.float32)
+    params = vit.init_vit(jax.random.PRNGKey(97), cfg)
+
+    def knn_of(family):
+        X, Y = make_texture_dataset(16, 48, 8, seed=5, family=family)
+        taps = np.asarray(vit.vit_intermediate_layers(
+            params, jnp.asarray(X), cfg, (0, 1, 2), apply_norm=False,
+        ))[:, :, 1:, :]
+        F = np.concatenate(list(taps), axis=-1).mean(axis=1)
+        n_tr = int(len(F) * 0.8)
+        return knn_accuracy(
+            jnp.asarray(F[:n_tr]), jnp.asarray(Y[:n_tr]),
+            jnp.asarray(F[n_tr:]), jnp.asarray(Y[n_tr:]),
+            ks=(5,), num_classes=8,
+        )[5]
+
+    acc_v1, acc_v2 = knn_of("v1"), knn_of("v2")
+    assert acc_v2 < acc_v1, (acc_v1, acc_v2)

@@ -75,3 +75,28 @@ def test_encoder_registry_xcit():
     params, state = enc.init(jax.random.PRNGKey(0))
     out, _ = enc.apply(params, state, jnp.ones((1, 64, 64, 3)), False, None)
     assert out.shape == (1, 384)
+
+
+def test_drop_path():
+    """Stochastic depth (reference hub student trains with it,
+    main_dino_mc.py:219-220): deterministic given rng, off in eval mode,
+    actually applied in train mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dinomc_tpu.models import xcit as xc
+
+    cfg = xc.XCiTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=4,
+                        cls_attn_layers=1, compute_dtype=jnp.float32,
+                        drop_path_rate=0.5)
+    params = xc.init_xcit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3))
+    rng = jax.random.PRNGKey(2)
+    a = xc.xcit_forward(params, x, cfg, rng, deterministic=False)
+    b = xc.xcit_forward(params, x, cfg, rng, deterministic=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    c = xc.xcit_forward(params, x, cfg)  # eval: no drop
+    d = xc.xcit_forward(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=0)
+    assert not np.allclose(np.asarray(a), np.asarray(c), atol=1e-5)
