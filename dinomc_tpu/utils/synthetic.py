@@ -137,17 +137,28 @@ def make_change_pair(
     n_seeds: int = 6,
     n_change: int = 2,
     family: str = "v1",
+    drift: str = "color",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Before/after scene pair with a known change mask (the OSCD learning
     world, r3 verdict weak #4).
 
     Both acquisitions share one Voronoi layout. ``n_change`` random cells
-    get a DIFFERENT texture class in the "after" image; crucially, EVERY
-    cell — changed or not — is re-rendered with fresh nuisance parameters
-    (orientation, phase, tint, noise) in the after image, the synthetic
-    analog of season/illumination drift between Sentinel-2 acquisitions.
-    Pixel differencing therefore fires everywhere; detecting the change
-    requires comparing texture CLASS, i.e. representation quality.
+    get a DIFFERENT texture class in the "after" image, while every cell
+    also suffers acquisition drift (the synthetic analog of
+    season/illumination change between Sentinel-2 passes), so naive pixel
+    differencing fires everywhere:
+
+    * ``drift='color'`` — unchanged cells keep their texture STRUCTURE
+      (same field, phase, orientation) but are re-colorized with fresh
+      tint/brightness/noise. The change signal is structural; measured
+      (docs/quality.md r4) this is the regime where a frozen pretrained
+      encoder's margin over random shows at useful absolute F1.
+    * ``drift='full'`` — unchanged cells are re-rendered with entirely
+      fresh nuisance (new orientation/phase too): change is texture CLASS
+      only. Measured: both frozen encoders land under the all-positive
+      trivial baseline at toy scale (pretrained sustains F1 ~14 vs
+      random ~4 — the margin is real but the absolute task is
+      near-impossible for a frozen-feature decoder).
 
     Returns (img1, img2, change_mask): two (size, size, 3) f32 images and
     a (size, size) float mask in {0, 1}.
@@ -167,9 +178,15 @@ def make_change_pair(
     img2 = np.zeros((size, size, 3), np.float32)
     for s in range(n_seeds):
         sel = cell == s
-        if sel.any():
-            img1[sel] = colorize(gen(int(cls1[s]), size, rng), rng)[sel]
-            img2[sel] = colorize(gen(int(cls2[s]), size, rng), rng)[sel]
+        if not sel.any():
+            continue
+        t1 = gen(int(cls1[s]), size, rng)
+        img1[sel] = colorize(t1, rng)[sel]
+        if s in changed or drift == "full":
+            t2 = gen(int(cls2[s]), size, rng)
+        else:
+            t2 = t1  # same structure, fresh colorize below
+        img2[sel] = colorize(t2, rng)[sel]
     return img1, img2, mask
 
 

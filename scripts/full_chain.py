@@ -197,7 +197,14 @@ def main() -> int:
     pth = os.path.join(work, "teacher.pth")
     loss = float("nan")
     if args.reuse and os.path.exists(pth):
-        print(f"[1-2/5] reusing {pth}", flush=True)
+        # recover the final pretrain loss from the dino run's JSONL so the
+        # committed artifact is complete even on reuse (r3 verdict weak #6)
+        try:
+            with open(os.path.join(dino_out, "log.txt")) as f:
+                loss = float(json.loads(f.readlines()[-1])["train_loss"])
+        except (OSError, ValueError, KeyError, IndexError):
+            pass
+        print(f"[1-2/5] reusing {pth} (pretrain loss {loss:.4f})", flush=True)
     else:
         from dinomc_tpu.cli import train_dino
 

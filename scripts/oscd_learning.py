@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_world(root, n_cities, n_val, scene, family, seed=0,
-                n_seeds=8, n_change=1):
+                n_seeds=8, n_change=1, drift="color"):
     from PIL import Image
 
     from dinomc_tpu.utils.synthetic import make_change_pair
@@ -46,7 +46,8 @@ def build_world(root, n_cities, n_val, scene, family, seed=0,
         d = os.path.join(root, name)
         os.makedirs(d, exist_ok=True)
         img1, img2, mask = make_change_pair(
-            scene, rng, family=family, n_seeds=n_seeds, n_change=n_change)
+            scene, rng, family=family, n_seeds=n_seeds, n_change=n_change,
+            drift=drift)
         Image.fromarray((img1 * 255).astype(np.uint8)).save(f"{d}/t1.png")
         Image.fromarray((img2 * 255).astype(np.uint8)).save(f"{d}/t2.png")
         Image.fromarray((mask * 255).astype(np.uint8)).save(f"{d}/cm.png")
@@ -92,6 +93,15 @@ def main():
                          "where all-positive scores F1 ~= 50 and the "
                          "random-control decoder hit it at epoch 1")
     ap.add_argument("--batch_size", default=16, type=int)
+    ap.add_argument("--drift", default="color", choices=["color", "full"],
+                    help="acquisition drift in unchanged cells "
+                         "(utils/synthetic.make_change_pair): 'color' "
+                         "keeps structure, 'full' re-renders everything")
+    ap.add_argument("--loss", default="dice_bce", choices=["bce", "dice_bce"],
+                    help="dice_bce (reference option, main_oscd.py) handles "
+                         "the ~12%% positive-pixel imbalance; plain bce "
+                         "measured all-negative for 30 epochs then F1 <= 14 "
+                         "(docs/quality.md r4)")
     ap.add_argument("--f1_bar", default=40.0, type=float,
                     help="required pretrained-chain F1 (all-positive "
                          "trivial baseline at the default 1-of-8 change "
@@ -120,7 +130,7 @@ def main():
     else:
         train_c, val_c = build_world(
             oscd_root, args.cities, args.val_cities, args.scene, args.family,
-            n_seeds=args.n_seeds, n_change=args.n_change,
+            n_seeds=args.n_seeds, n_change=args.n_change, drift=args.drift,
         )
     print(f"world: {len(train_c)} train / {len(val_c)} val cities "
           f"({time.time()-t00:.0f}s)", flush=True)
@@ -173,7 +183,7 @@ def main():
         out = os.path.join(work, f"oscd_{tag}")
         a = oscd_cli.get_args_parser().parse_args([])
         for k, v in dict(
-            backbone=args.backbone, data_path=oscd_root,
+            backbone=args.backbone, data_path=oscd_root, loss=args.loss,
             pretrained_weights=weights, freeze_encoder=True,
             train_cities=",".join(train_c), val_cities=",".join(val_c),
             epochs=args.epochs, batch_size=args.batch_size,
@@ -202,6 +212,7 @@ def main():
         "world": {"family": args.family, "train_cities": len(train_c),
                   "val_cities": len(val_c), "scene": args.scene,
                   "n_seeds": args.n_seeds, "n_change": args.n_change,
+                  "drift": args.drift,
                   "all_positive_f1": round(
                       200.0 * (args.n_change / args.n_seeds)
                       / (1.0 + args.n_change / args.n_seeds), 1)},
