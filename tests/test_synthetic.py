@@ -93,3 +93,40 @@ def test_texture_v2_degrades_random_features():
 
     acc_v1, acc_v2 = knn_of("v1"), knn_of("v2")
     assert acc_v2 < acc_v1, (acc_v1, acc_v2)
+
+
+def test_make_change_pair_modes():
+    """Change-pair world (OSCD learning): mask matches changed cells, and
+    the drift modes behave as documented — 'color' keeps unchanged-cell
+    structure (gray-level correlation high), 'full' re-renders it."""
+    import numpy as np
+
+    from dinomc_tpu.utils.synthetic import make_change_pair
+
+    for drift in ("color", "full"):
+        rng = np.random.RandomState(3)
+        img1, img2, mask = make_change_pair(
+            64, rng, n_seeds=6, n_change=2, drift=drift)
+        assert img1.shape == (64, 64, 3) and img2.shape == (64, 64, 3)
+        assert mask.shape == (64, 64)
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
+        assert 0.05 < mask.mean() < 0.8  # some but not all changed
+        # changed area differs between acquisitions
+        ch = mask.astype(bool)
+        assert np.abs(img1[ch] - img2[ch]).mean() > 0.05
+
+    # color drift: unchanged-cell grayscale structure is preserved
+    # (correlation of gray levels high despite fresh tint/noise)
+    rng = np.random.RandomState(3)
+    i1, i2, m = make_change_pair(64, rng, n_seeds=6, n_change=1,
+                                 drift="color")
+    un = ~m.astype(bool)
+    g1, g2 = i1.mean(-1)[un], i2.mean(-1)[un]
+    corr_color = np.corrcoef(g1, g2)[0, 1]
+    rng = np.random.RandomState(3)
+    i1, i2, m = make_change_pair(64, rng, n_seeds=6, n_change=1,
+                                 drift="full")
+    un = ~m.astype(bool)
+    g1, g2 = i1.mean(-1)[un], i2.mean(-1)[un]
+    corr_full = np.corrcoef(g1, g2)[0, 1]
+    assert corr_color > corr_full + 0.2, (corr_color, corr_full)
