@@ -96,6 +96,15 @@ def run(args) -> float:
     idx = np.arange(len(train_ds))
     if args.train_frac < 1.0:  # BigEarthNet-10% path
         idx = random_subset(len(train_ds), args.train_frac, seed=args.seed)
+    if len(idx) < global_batch:
+        # With drop_last=True a train set smaller than one global batch
+        # yields ZERO batches — every epoch would silently train nothing
+        # while the schedule/logging suggest progress. Fail loudly.
+        raise SystemExit(
+            f"train set ({len(idx)} samples) smaller than the global batch "
+            f"({global_batch} = {args.batch_size_per_gpu}/chip x "
+            f"{len(jax.devices())} chips); lower --batch_size_per_gpu"
+        )
 
     def batches(ds, indices, shuffle, seed, drop_last=True):
         order = np.array(indices)

@@ -162,7 +162,6 @@ def run(args) -> float:
 
     def evaluate() -> float:
         cm = jnp.zeros((args.num_labels, args.num_labels), jnp.int32)
-        top1s = []
         for images, labels in _batches(val_ds, global_batch, False, 0,
                                        drop_last=False):
             images = jnp.asarray(images)
@@ -170,14 +169,17 @@ def run(args) -> float:
                 images = shard_batch(mesh, images)
             logits = cls_predict(state.params, state.bn_state, val_images(images), cfg)
             y = jnp.asarray(labels)
-            top1s.append(float(M.topk_accuracy(logits, y, (1,))[1]))
             cm = cm + M.confusion_matrix(logits.argmax(-1), y, args.num_labels)
         scores = M.cm2score(cm)
-        print(f"top1 {np.mean(top1s):.2f}  per-class P/R/F1:")
+        # top-1 from the accumulated confusion matrix: sample-weighted, so a
+        # smaller remainder batch (drop_last=False) is not overweighted the
+        # way a mean of per-batch accuracies would be.
+        top1 = 100.0 * float(cm.diagonal().sum()) / max(float(cm.sum()), 1.0)
+        print(f"top1 {top1:.2f}  per-class P/R/F1:")
         for i in range(args.num_labels):
             print(f"  class {i}: {float(scores['precision'][i]):.3f} "
                   f"{float(scores['recall'][i]):.3f} {float(scores['f1'][i]):.3f}")
-        return float(np.mean(top1s))
+        return top1
 
     if args.evaluate:
         # reference --evaluate loads a FINE-TUNED full model (ckpt
@@ -209,6 +211,14 @@ def run(args) -> float:
             state = restored
         return evaluate()
 
+    if len(train_ds) < global_batch:
+        # drop_last=True on a train set smaller than one global batch yields
+        # ZERO batches per epoch — fail loudly instead of training nothing.
+        raise SystemExit(
+            f"train set ({len(train_ds)} samples) smaller than the global "
+            f"batch ({global_batch} = {args.batch_size_per_gpu}/chip x "
+            f"{n_dev} chips); lower --batch_size_per_gpu"
+        )
     niter = max(sum(1 for _ in _batches(train_ds, global_batch, False, 0)), 1)
     lrs = cosine_scheduler(
         linear_scaled_lr(args.lr, global_batch), 1e-6, args.epochs, niter

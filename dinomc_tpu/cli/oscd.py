@@ -46,6 +46,31 @@ def get_args_parser() -> argparse.ArgumentParser:
     return p
 
 
+def iter_index_batches(indices, global_batch, n_dev, shuffle, seed, trim=True):
+    """Yield index chunks of up to ``global_batch``.
+
+    trim=True (train): stop at the last full global batch and trim each
+    chunk to an ``n_dev`` multiple so it splits evenly over the data axis.
+    trim=False (eval): iterate to ``len(indices)`` so the final partial
+    batch is yielded — eval must score every sample (the remainder batch
+    runs unsharded).
+    """
+    import numpy as np
+
+    order = np.array(indices)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    bs = global_batch
+    end = len(order) if not trim else max(len(order) - len(order) % bs, bs)
+    for s in range(0, end, bs):
+        chunk = order[s : s + bs]
+        if trim:
+            chunk = chunk[: len(chunk) - len(chunk) % n_dev]
+        if len(chunk) == 0:
+            break
+        yield chunk
+
+
 class _SyntheticPairs:
     def __init__(self, n, size=96):
         self.n, self.size = n, size
@@ -124,16 +149,9 @@ def run(args) -> float:
             val_idx = np.arange(len(ds) - n_val, len(ds))
 
     def batches(ds, indices, shuffle, seed, trim=True):
-        order = np.array(indices)
-        if shuffle:
-            np.random.RandomState(seed).shuffle(order)
-        bs = global_batch
-        for s in range(0, max(len(order) - len(order) % bs, bs), bs):
-            chunk = order[s : s + bs]
-            if trim:  # train batches must split evenly over the data axis
-                chunk = chunk[: len(chunk) - len(chunk) % n_dev]
-            if len(chunk) == 0:
-                break
+        for chunk in iter_index_batches(
+            indices, global_batch, n_dev, shuffle, seed, trim
+        ):
             yield collate_pairs([ds[int(i)] for i in chunk])
 
     def shard_if_divisible(tree):
@@ -142,6 +160,13 @@ def run(args) -> float:
         n = len(jax.tree_util.tree_leaves(tree)[0])
         return shard_batch(mesh, tree) if n % n_dev == 0 else tree
 
+    if len(train_idx) < n_dev:
+        # The per-batch trim to an n_dev multiple would make every train
+        # batch empty — every epoch would silently train nothing.
+        raise SystemExit(
+            f"train set ({len(train_idx)} tiles) smaller than the device "
+            f"count ({n_dev}); need at least one tile per chip"
+        )
     cfg = OSCDConfig(
         model=SiameseConfig(arch=args.backbone, freeze_encoder=args.freeze_encoder),
         loss=args.loss,

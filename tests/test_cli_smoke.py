@@ -207,6 +207,27 @@ def test_oscd_cli(tmp_path):
     assert all(p.stat().st_size > 0 for p in panels)
 
 
+def test_oscd_eval_batches_cover_every_sample():
+    """Regression (r4 advisor): with trim=False the final partial batch must
+    be yielded — previously up to global_batch-1 tail samples were silently
+    dropped from the F1 computation whenever len(val) wasn't a multiple of
+    the global batch."""
+    import numpy as np
+
+    from dinomc_tpu.cli.oscd import iter_index_batches
+
+    # 23 samples, global batch 8 (n_dev 4): eval must see all 23.
+    chunks = list(iter_index_batches(np.arange(23), 8, 4, False, 0, trim=False))
+    assert [len(c) for c in chunks] == [8, 8, 7]
+    assert sorted(np.concatenate(chunks).tolist()) == list(range(23))
+    # train (trim=True): full batches only, each an n_dev multiple
+    chunks = list(iter_index_batches(np.arange(23), 8, 4, False, 0, trim=True))
+    assert [len(c) for c in chunks] == [8, 8]
+    # train set smaller than one global batch still yields a (trimmed) batch
+    chunks = list(iter_index_batches(np.arange(6), 8, 4, False, 0, trim=True))
+    assert [len(c) for c in chunks] == [4]
+
+
 def test_train_seg_cli(tmp_path):
     from dinomc_tpu.cli import train_seg as mod
 
@@ -461,7 +482,7 @@ def test_oscd_learning_script_smoke(tmp_path):
     out = subprocess.run(
         [_sys.executable, os.path.join(_REPO, "scripts", "oscd_learning.py"),
          "--workdir", str(tmp_path), "--cities", "2", "--val_cities", "1",
-         "--scene", "96", "--epochs", "2", "--batch_size", "2",
+         "--scene", "288", "--epochs", "2", "--batch_size", "2",
          "--backbone", "resnet_test", "--pretrain_steps", "0", "--smoke"],
         capture_output=True, text=True, timeout=560, env=env, cwd=_REPO,
     )
