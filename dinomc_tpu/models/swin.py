@@ -40,6 +40,18 @@ class SwinConfig:
     # the same --drop_path_rate flag as every other arch; set 0.2 to
     # replicate torchvision exactly)
     drop_path_rate: float = 0.0
+    # Window-attention dispatch: None = Pallas packed-window kernel on TPU,
+    # XLA einsum path elsewhere; True/False force. The kernel packs G
+    # windows per MXU program (ops/pallas/window_attention.py) — built for
+    # the ~2x lever named in docs/performance.md's r4 Swin dissection and
+    # measured at 1.3x/1.1x on the stage-1/2 cores (the 2x bound was
+    # stub-out-inflated; see docs/performance.md r5).
+    window_kernel: Optional[bool] = None
+    # Per-stage gate: the kernel wins only where windows are many and
+    # heads few (chained core micro, scripts/swin_kernel_micro.py:
+    # stage1 1.32x, stage2 1.13x, stage3 0.86x) — stages with more heads
+    # than this use the XLA einsum path.
+    window_kernel_max_heads: int = 6
 
     @property
     def out_dim(self) -> int:
@@ -159,23 +171,42 @@ def _pad_mask(H: int, W: int, Hp: int, Wp: int, w: int) -> Optional[np.ndarray]:
     return (win[:, None, :] * -100.0).astype(np.float32)  # mask keys only
 
 
-def _window_attention(x, bp, heads, w, mask):
-    """x: (nB, ww, C); mask: (nW, ww, ww) or None, broadcast over batch."""
+def _use_window_kernel(cfg: "SwinConfig", heads: int) -> bool:
+    on = (cfg.window_kernel if cfg.window_kernel is not None
+          else jax.default_backend() == "tpu")
+    return on and heads <= cfg.window_kernel_max_heads
+
+
+def _window_attention(x, bp, heads, w, mask, n_windows=None, use_kernel=False):
+    """x: (nB, ww, C); mask: static np (nW, ww, ww) or None."""
     nB, ww, C = x.shape
     hd = C // heads
     qkv = _lin(x, {"kernel": bp["qkv"]["kernel"], "bias": bp["qkv"]["bias"]})
-    qkv = qkv.reshape(nB, ww, 3, heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) / (hd**0.5)
-    idx = jnp.asarray(_rel_index(w))
-    bias = bp["rel_bias"][idx]  # (ww, ww, heads)
-    logits = logits + bias.transpose(2, 0, 1)[None]
-    if mask is not None:
-        nW = mask.shape[0]
-        logits = logits.reshape(nB // nW, nW, heads, ww, ww) + mask[:, None, :, :]
-        logits = logits.reshape(nB, heads, ww, ww)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(nB, ww, C)
+    if use_kernel:
+        from dinomc_tpu.ops.pallas.window_attention import (
+            packed_window_attention,
+        )
+
+        idx = jnp.asarray(_rel_index(w))
+        bias = bp["rel_bias"][idx].transpose(2, 0, 1)  # (heads, ww, ww) f32
+        out = packed_window_attention(
+            qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
+            bias, mask, heads, n_windows,
+        )
+    else:
+        qkv = qkv.reshape(nB, ww, 3, heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) / (hd**0.5)
+        idx = jnp.asarray(_rel_index(w))
+        bias = bp["rel_bias"][idx]  # (ww, ww, heads)
+        logits = logits + bias.transpose(2, 0, 1)[None]
+        if mask is not None:
+            mask_arr = jnp.asarray(mask)
+            nW = mask.shape[0]
+            logits = logits.reshape(nB // nW, nW, heads, ww, ww) + mask_arr[:, None, :, :]
+            logits = logits.reshape(nB, heads, ww, ww)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(nB, ww, C)
     return _lin(out, {"kernel": bp["proj"]["kernel"], "bias": bp["proj"]["bias"]})
 
 
@@ -186,7 +217,7 @@ def _drop_path(y, keep_p, mask):
     return jnp.where(m, y * (1.0 / keep_p).astype(y.dtype), jnp.zeros_like(y))
 
 
-def _swin_block(x, bp, heads, w, shift, eps, dp=None):
+def _swin_block(x, bp, heads, w, shift, eps, dp=None, use_kernel=False):
     """dp: None, or (keep_prob scalar, (2, B) bool masks) for the two
     residual branches (independent draws, torchvision StochasticDepth)."""
     B, H, W, C = x.shape
@@ -204,9 +235,9 @@ def _swin_block(x, bp, heads, w, shift, eps, dp=None):
             mask = mask + pad_m
     else:
         mask = pad_m
-    mask_arr = jnp.asarray(mask) if mask is not None else None
+    n_windows = (Hp // w) * (Wp // w)
     win = _window_partition(y, w)
-    win = _window_attention(win, bp, heads, w, mask_arr)
+    win = _window_attention(win, bp, heads, w, mask, n_windows, use_kernel)
     y = _window_reverse(win, w, B, Hp, Wp)
     if shift > 0:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -276,7 +307,8 @@ def swin_forward(
                 shift = 0
             dp = (keeps[blk], dp_masks[blk]) if use_dp else None
             t = _swin_block(
-                t, bp, heads, cfg.window, shift, cfg.layernorm_eps, dp
+                t, bp, heads, cfg.window, shift, cfg.layernorm_eps, dp,
+                use_kernel=_use_window_kernel(cfg, heads),
             )
             blk += 1
         if "merge" in stage:

@@ -1,0 +1,158 @@
+"""The reference's full-resolution tiled geometry, on chip.
+
+Runs the exact UAVid production shape the reference pipeline targets —
+2160x3840 scenes cut into a 3x4 grid of 720x960 patches
+(`/root/reference/utils/patch_cropper.py:200-205`), per-patch inference at
+model resolution 224, logits stitched back onto the full-res canvas and
+scored (`/root/reference/evaluate.py:19-27` with resize=(2160,3840)`) —
+and measures tiles/s, stitch wall time, and device memory for the
+(2160, 3840, C) f32 canvas. Also exports per-patch MODEL-RES (224 px)
+logits in the reference's .npy+metadata format with 720x960 boxes so the
+file-stitcher's bicubic resize-on-mismatch path
+(`uavid_dataset.py:371-374`) is exercised at reference scale, and checks
+it reproduces the on-device canvas.
+
+Run: python scripts/stitch_4k.py [--scenes 2] [--out docs/results/stitch4k_r5.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_scene(seed: int, H: int, W: int, num_classes: int):
+    """Synthetic UAVid-scale scene: smooth class regions + matching RGB."""
+    rng = np.random.RandomState(seed)
+    # low-res class field upsampled -> large coherent regions
+    small = rng.rand(num_classes, 18, 32).astype(np.float32)
+    import jax
+    import jax.numpy as jnp
+
+    field = jax.image.resize(jnp.asarray(small), (num_classes, H, W), "bicubic")
+    mask = np.asarray(jnp.argmax(field, axis=0)).astype(np.int32)
+    palette = rng.rand(num_classes, 3).astype(np.float32)
+    img = palette[mask] + 0.05 * rng.rand(H, W, 3).astype(np.float32)
+    return np.clip(img, 0, 1), mask
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=2)
+    ap.add_argument("--grid", type=int, nargs=2, default=(3, 4))
+    ap.add_argument("--size", type=int, nargs=2, default=(2160, 3840))
+    ap.add_argument("--model_size", type=int, default=224)
+    ap.add_argument("--export_dir", default="/tmp/stitch4k_logits")
+    ap.add_argument("--out", default="docs/results/stitch4k_r5.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dinomc_tpu.data import seg_datasets as sd
+    from dinomc_tpu.data.patching import (
+        coords_to_metadata,
+        custom_grid_coords,
+        save_metadata,
+    )
+    from dinomc_tpu.eval import metrics as M
+    from dinomc_tpu.eval.tiled_inference import stitch_from_files, tiled_predict
+    from dinomc_tpu.models.upernet import UPerNetConfig
+    from dinomc_tpu.ops.augment import normalize
+    from dinomc_tpu.train.seg_trainer import (
+        SegConfig,
+        init_seg_train_state,
+        seg_predict,
+    )
+
+    spec = sd.SPECS["uavid"]
+    H, W = args.size
+    gh, gw = args.grid
+    n_tiles = gh * gw
+    ph, pw = H // gh, W // gw
+    cfg = SegConfig(model=UPerNetConfig(num_classes=spec.num_classes,
+                                        arch="vit_small", patch_size=8))
+    state = init_seg_train_state(jax.random.PRNGKey(0), cfg)
+
+    def predict_fn(x):
+        return seg_predict(state.params, state.bn_state, x, cfg)
+
+    def run_one(img):
+        x = normalize(jnp.asarray(img), spec.mean, spec.std)
+        return tiled_predict(predict_fn, x, (gh, gw), args.model_size)
+
+    result = {"geometry": {"scene": [H, W], "grid": [gh, gw],
+                           "patch": [ph, pw], "model_size": args.model_size,
+                           "num_classes": spec.num_classes}}
+
+    stats = M.seg_stats_init(spec.num_classes)
+    dev = jax.local_devices()[0]
+    scenes = [make_scene(i, H, W, spec.num_classes) for i in range(args.scenes)]
+
+    # compile pass (excluded from timing)
+    logits = run_one(scenes[0][0])
+    float(logits[0, 0, 0])
+    t_scene, t_stitchless = [], []
+    for img, mask in scenes:
+        t0 = time.perf_counter()
+        logits = run_one(img)
+        pred = jnp.argmax(logits, axis=-1)
+        stats = M.seg_stats_update(stats, pred, jnp.asarray(mask))
+        float(jnp.sum(pred))  # sync (relay block_until_ready returns early)
+        t_scene.append(time.perf_counter() - t0)
+    mem = dev.memory_stats() or {}
+    scores = M.seg_stats_finalize(stats)
+    result["per_scene_s"] = [round(t, 3) for t in t_scene]
+    result["tiles_per_s"] = round(n_tiles / float(np.mean(t_scene)), 2)
+    result["canvas_logits_mb"] = round(H * W * spec.num_classes * 4 / 2**20, 1)
+    result["peak_hbm_gb"] = round(mem.get("peak_bytes_in_use", 0) / 2**30, 3)
+    result["miou_random_weights"] = round(float(scores["miou"]) * 100, 2)
+
+    # --- reference-format export at MODEL resolution + file-stitch ------
+    os.makedirs(args.export_dir, exist_ok=True)
+    img, mask = scenes[0]
+    x = normalize(jnp.asarray(img), spec.mean, spec.std)
+    coords = custom_grid_coords(H, W, gh, gw)
+    meta = coords_to_metadata(coords, "scene0", cols=gw)
+    save_metadata(meta, os.path.join(args.export_dir, "patches_metadata.json"))
+    from dinomc_tpu.data.patching import extract_patches
+
+    patches = extract_patches(x, coords)
+    small = jax.image.resize(
+        patches, (n_tiles, args.model_size, args.model_size, 3), "bicubic"
+    )
+    logits_small = predict_fn(small)  # (N, 224, 224, C)
+    for ci in range(n_tiles):
+        r, c = ci // gw, ci % gw
+        np.save(os.path.join(args.export_dir, f"scene0_{r}_{c}.npy"),
+                np.asarray(logits_small[ci]).transpose(2, 0, 1))
+    t0 = time.perf_counter()
+    canvas = stitch_from_files(
+        args.export_dir, os.path.join(args.export_dir, "patches_metadata.json"),
+        (H, W), basename="scene0",
+    )
+    pred_file = np.asarray(jnp.argmax(canvas, axis=-1))
+    t_stitch = time.perf_counter() - t0
+    result["file_stitch_s"] = round(t_stitch, 3)
+    # the on-device path resizes the same 224px logits with the same
+    # bicubic op before pasting -> canvases must agree
+    pred_dev = np.asarray(jnp.argmax(run_one(img), axis=-1))
+    agree = float((pred_file == pred_dev).mean())
+    result["file_vs_device_argmax_agreement"] = round(agree, 6)
+    result["export_bytes_mb"] = round(
+        sum(os.path.getsize(os.path.join(args.export_dir, f))
+            for f in os.listdir(args.export_dir)) / 2**20, 1)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

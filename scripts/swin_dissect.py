@@ -66,11 +66,11 @@ def main():
     print(f"student fwd+bwd (all crops): {base:7.2f} ms", flush=True)
 
     # ---- stubs ---------------------------------------------------------
-    def stub_win_attn_all(x, bp, heads, w, mask):
+    def stub_win_attn_all(x, bp, heads, w, mask, *a, **kw):
         """Whole attention (incl. qkv/proj GEMMs) -> identity."""
         return x
 
-    def stub_attn_core(x, bp, heads, w, mask):
+    def stub_attn_core(x, bp, heads, w, mask, *a, **kw):
         """Keep qkv + proj GEMMs; skip QK^T/softmax/PV + rel-bias gather."""
         C = x.shape[-1]
         qkv = sw._lin(x, {"kernel": bp["qkv"]["kernel"],

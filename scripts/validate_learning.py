@@ -59,6 +59,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for init/data/augment streams — multi-seed "
                          "spread on the endpoints (r3 verdict weak #5)")
+    ap.add_argument("--endpoint_gap", type=int, default=500,
+                    help="evaluate the k-NN/probe endpoints at the final "
+                         "step AND at -gap/-2*gap and report the mean of "
+                         "the 3 — late-trajectory averaging cuts the "
+                         "single-snapshot endpoint noise (r4 verdict "
+                         "weak #6) at near-zero extra chip time; 0 = "
+                         "single final snapshot")
     args = ap.parse_args()
 
     import jax
@@ -150,14 +157,22 @@ def main():
     def probe_acc(params, bn_state):
         # the reference's headline SSL metric (README.md:18-25) is the
         # linear probe; run the same protocol (eval/linear_probe.py: SGD
-        # momentum + cosine lr over frozen features)
+        # momentum + cosine lr over frozen features). Averaged over 3
+        # independently seeded train/val splits of the probe itself —
+        # the split is part of the probe protocol's noise, not the
+        # encoder's (r4 verdict weak #6).
         from dinomc_tpu.eval.linear_probe import train_linear_probe
 
         f = features(params, bn_state)
-        return train_linear_probe(
-            f[:n_train], labels[:n_train], f[n_train:], labels[n_train:],
-            num_classes=8, epochs=50, batch_size=256,
-        )["top1"]
+        accs = []
+        for split_seed in range(3):
+            order = np.random.RandomState(1000 + split_seed).permutation(n)
+            tr, te = order[:n_train], order[n_train:]
+            accs.append(train_linear_probe(
+                f[tr], labels[tr], f[te], labels[te],
+                num_classes=8, epochs=50, batch_size=256,
+            )["top1"])
+        return float(np.mean(accs))
 
     acc_before = knn_acc(state.teacher, state.teacher_state)
     print(f"k-NN acc before pretraining: {acc_before:.2f}% (chance = 12.5%)")
@@ -166,6 +181,12 @@ def main():
     data_rng = np.random.RandomState(args.seed + 2)
     t0 = time.time()
     loss = float("nan")
+    # endpoint snapshots: the final step plus -gap and -2*gap (mean-of-3)
+    ep_steps = {args.steps - 1}
+    if args.endpoint_gap:
+        ep_steps |= {args.steps - 1 - args.endpoint_gap,
+                     args.steps - 1 - 2 * args.endpoint_gap}
+    ep_knn, ep_probe = [], []
     for step in range(args.steps):
         idx = data_rng.randint(0, n, args.batch)
         rng, k = jax.random.split(rng)
@@ -179,11 +200,21 @@ def main():
                 return 1
         if args.probe_every and step and step % args.probe_every == 0:
             print(f"  k-NN @ step {step}: {knn_acc(state.teacher, state.teacher_state):.2f}%", flush=True)
+        if step in ep_steps and step > 0:
+            ep_knn.append(knn_acc(state.teacher, state.teacher_state))
+            ep_probe.append(probe_acc(state.teacher, state.teacher_state))
+            print(f"  endpoint snapshot @ step {step}: "
+                  f"k-NN {ep_knn[-1]:.2f}%  probe {ep_probe[-1]:.2f}%",
+                  flush=True)
 
-    acc_after = knn_acc(state.teacher, state.teacher_state)
-    print(f"k-NN acc after {args.steps} steps: {acc_after:.2f}%")
-    lp_after = probe_acc(state.teacher, state.teacher_state)
-    print(f"linear-probe acc after {args.steps} steps: {lp_after:.2f}%")
+    acc_after = float(np.mean(ep_knn))
+    spread = float(np.std(ep_knn))
+    print(f"k-NN acc after {args.steps} steps: {acc_after:.2f}% "
+          f"(mean of {len(ep_knn)} late snapshots, sd {spread:.2f})")
+    lp_after = float(np.mean(ep_probe))
+    print(f"linear-probe acc after {args.steps} steps: {lp_after:.2f}% "
+          f"(mean of {len(ep_probe)} late snapshots, sd "
+          f"{float(np.std(ep_probe)):.2f})")
     ok = acc_after >= max(acc_before + 5.0, 50.0)
     print("LEARNING DEMONSTRATED" if ok else
           "INCONCLUSIVE (early-phase DINO; try more --steps)")
