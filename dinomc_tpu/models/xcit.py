@@ -45,6 +45,19 @@ class XCiTConfig:
     # r3 "p8 compiler crash" bisected to this OOM (scripts/xcit_p8_bisect.py)
     # once the relay's compiler stopped dying on the report.
     remat: bool = True
+    # Saved-activation policy under remat (r5, after the p8 dissection put
+    # the MLP at 50% and XCA+LPI at 42% of the student step):
+    #   'full'     — save only the carry; backward recomputes qkv/XCA/LPI/
+    #                fc1+GELU. DEFAULT: measured fastest.
+    #   'branches' — additionally save the XCA and LPI branch outputs
+    #                (2 x (B, N, D) bf16 per layer), skipping the qkv GEMM,
+    #                XCA core and LPI conv recompute in backward. Measured
+    #                WORSE on chip (bench_archs, 2026-08-21): p8 69.5 vs
+    #                72.2 img/s, p16 182.8 vs 185.4 — the saved branches'
+    #                HBM round trips cost more than the recompute they
+    #                avoid, the same trade ViT's 'attn+mlp' policy lost.
+    #                Kept for larger-HBM parts.
+    remat_policy: str = "full"
     # Stochastic depth, CONSTANT rate per layer (official XCiT uses
     # dpr = [rate] * depth, unlike ViT's linear ramp), applied per sample
     # to each residual branch (XCA / LPI / MLP, and both cls-attn
@@ -287,12 +300,20 @@ def xcit_forward(
     eps = cfg.layernorm_eps
 
     def block(t, bp, masks):
+        from jax.ad_checkpoint import checkpoint_name
+
         y1 = _ln(t, bp["norm1"], eps)
-        t = t + drop(bp["gamma1"].astype(dt) * _xca(y1, bp, cfg.num_heads, dt),
-                     masks[0])
+        xca_out = checkpoint_name(
+            bp["gamma1"].astype(dt) * _xca(y1, bp, cfg.num_heads, dt),
+            "xca_out",
+        )
+        t = t + drop(xca_out, masks[0])
         y3 = _ln(t, bp["norm3"], eps)
-        t = t + drop(bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt),
-                     masks[1])
+        lpi_out = checkpoint_name(
+            bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt),
+            "lpi_out",
+        )
+        t = t + drop(lpi_out, masks[1])
         y2 = _ln(t, bp["norm2"], eps)
         m = _lin(y2, {"kernel": bp["fc1"]["kernel"], "bias": bp["fc1"]["bias"]})
         m = jax.nn.gelu(m, approximate=False)
@@ -301,7 +322,15 @@ def xcit_forward(
         return t
 
     if cfg.remat:
-        block = jax.checkpoint(block)
+        if cfg.remat_policy == "branches":
+            block = jax.checkpoint(
+                block,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "xca_out", "lpi_out"
+                ),
+            )
+        else:
+            block = jax.checkpoint(block)
 
     def body(t, xs):
         bp, masks = xs

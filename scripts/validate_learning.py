@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for init/data/augment streams — multi-seed "
                          "spread on the endpoints (r3 verdict weak #5)")
+    ap.add_argument("--n_per_class", type=int, default=64,
+                    help="synthetic corpus size knob (corpus = 8 classes x "
+                         "this) — the r4 frontier verdicts used 64; the r5 "
+                         "long-horizon de-censoring run doubles it")
     ap.add_argument("--endpoint_gap", type=int, default=500,
                     help="evaluate the k-NN/probe endpoints at the final "
                          "step AND at -gap/-2*gap and report the mean of "
@@ -82,7 +86,8 @@ def main():
         init_dino_train_state,
     )
 
-    images, labels = make_dataset(seed=args.seed, family=args.world)
+    images, labels = make_dataset(n_per_class=args.n_per_class,
+                                  seed=args.seed, family=args.world)
     n = len(images)
     n_train = int(n * 0.8)
 

@@ -145,13 +145,15 @@ def main():
           f"(component ~{base - t:6.2f} ms, {100*(base-t)/base:4.1f}%)",
           flush=True)
 
-    # cls-attn layers: drop them from the param tree (forward loops over
-    # the list, so an empty list skips the layers entirely)
+    # cls-attn layers: halve them (1 of 2) and double the delta — removing
+    # both would cut the CLS token's only data dependency on the trunk and
+    # let XLA dead-code the whole network (measured: 193 -> 4 ms, bogus).
     p2 = dict(params)
-    p2["cls_blocks"] = []
+    p2["cls_blocks"] = params["cls_blocks"][:1]
     t = timeit(jax.jit(jax.grad(full)), p2, xs)
-    print(f"  - {'cls_attn':<16} removed: {t:7.2f} ms  "
-          f"(component ~{base - t:6.2f} ms, {100*(base-t)/base:4.1f}%)",
+    comp = 2 * (base - t)
+    print(f"  - {'cls_attn (x2 of half)':<16} : {t:7.2f} ms  "
+          f"(component ~{comp:6.2f} ms, {100*comp/base:4.1f}%)",
           flush=True)
 
 
