@@ -80,13 +80,22 @@ def bn_apply(
 ) -> Tuple[jnp.ndarray, Params]:
     """BatchNorm over all but the channel axis. torch momentum convention:
     running = (1 - torch_mom) * running + torch_mom * batch with
-    torch_mom = 1 - momentum here (momentum=0.9 ≡ torch momentum 0.1)."""
-    x32 = x.astype(jnp.float32)
+    torch_mom = 1 - momentum here (momentum=0.9 ≡ torch momentum 0.1).
+
+    Bandwidth-lean form (r5, after the RN50 dissection booked train-BN at
+    ~30% of the conv step): both moments come from ONE fused read of x
+    (E[x], E[x^2] — f32 accumulation), and the normalize is folded to
+    y = x*a + b with per-channel a, b precomputed in f32, so the
+    elementwise pass runs in the compute dtype (one bf16 read + write
+    instead of an f32 materialization + two-pass variance). Measured:
+    RN50 DINO step 392.6 -> see docs/performance.md r5."""
     if train:
         axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=axes)
-        var = jnp.var(x32, axis=axes)
-        n = x32.size // x32.shape[-1]
+        mean2 = jnp.mean(jnp.square(x32), axis=axes)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        n = x.size // x.shape[-1]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
             "mean": momentum * s["mean"] + (1 - momentum) * mean,
@@ -95,9 +104,11 @@ def bn_apply(
     else:
         mean, var = s["mean"], s["var"]
         new_state = s
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"] + p["bias"]
-    return y.astype(x.dtype), new_state
+    inv = jax.lax.rsqrt(var + eps)
+    a = p["scale"] * inv
+    b = p["bias"] - mean * a
+    y = x * a.astype(x.dtype) + b.astype(x.dtype)
+    return y, new_state
 
 
 def conv_bn_relu_init(key, k: int, c_in: int, c_out: int) -> Tuple[Params, Params]:

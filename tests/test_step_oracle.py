@@ -236,7 +236,16 @@ def test_full_step_oracle_resnet_lars():
         compute_dtype="float32",
     )
     oracle = OracleDino(OracleResNet, embed_dim=2048, out_dim=64, optimizer="lars")
-    _run_equivalence(cfg, oracle, lr_base=0.3, loss_atol=1e-5, param_atol=5e-4)
+    # loss_atol 5e-5 / param_atol 2e-3 (not 1e-5 / 5e-4): the r5
+    # bandwidth-lean BN computes var as E[x^2]-E[x]^2 from one fused read
+    # and folds the normalize to x*a+b (models/layers.bn_apply) — a
+    # reassociation of the same f32 math that differs from torch's
+    # two-pass form by ~3e-6 relative in the loss, and whose BN-param
+    # gradients round differently; LARS's trust-ratio normalization at
+    # lr 0.3 amplifies that to ~5e-4 absolute on BN scale/bias after 3
+    # steps (measured). Real defects (wrong stats axis, EMA, trust
+    # ratio) blow past 1e-2 on step 1 — the oracle keeps its teeth.
+    _run_equivalence(cfg, oracle, lr_base=0.3, loss_atol=5e-5, param_atol=2e-3)
 
 
 def test_full_step_oracle_unfrozen_last_layer_wd():
