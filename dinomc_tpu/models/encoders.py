@@ -36,7 +36,7 @@ class EncoderConfig:
     # bf16 is the TPU training default; float32 is used by the torch-oracle
     # parity tests (tests/test_step_oracle.py) and strict-import paths.
     compute_dtype: Any = jnp.bfloat16
-    gelu_approx: bool = True  # ViT only; False = exact erf (torch parity)
+    gelu_approx: bool = True  # ViT/Swin/XCiT; False = exact erf (torch parity)
     # ViT attention dispatch (models/vit.ViTConfig.attn_impl): 'auto' picks
     # the Pallas kernels on TPU; 'dense' forces the XLA einsum form (used
     # by the FLOP counter, whose jaxpr walk cannot see into pallas_call)
@@ -100,6 +100,7 @@ class EncoderConfig:
         return sw.swin_t(
             compute_dtype=self.compute_dtype,
             drop_path_rate=self.drop_path_rate,
+            gelu_approx=self.gelu_approx,
         )
 
     def _xcit_cfg(self) -> "xc.XCiTConfig":
@@ -107,6 +108,7 @@ class EncoderConfig:
             patch_size=self.patch_size,
             compute_dtype=self.compute_dtype,
             drop_path_rate=self.drop_path_rate,
+            gelu_approx=self.gelu_approx,
         )
 
     def apply(

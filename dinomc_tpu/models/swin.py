@@ -52,6 +52,11 @@ class SwinConfig:
     # stage1 1.32x, stage2 1.13x, stage3 0.86x) — stages with more heads
     # than this use the XLA einsum path.
     window_kernel_max_heads: int = 6
+    # True = tanh GELU (TPU default — erf GELU runs on the VPU's slow
+    # transcendental path; the ViT progression measured it doubling MLP
+    # time, docs/performance.md). False = exact erf for torch parity
+    # (torchvision swin_t uses nn.GELU).
+    gelu_approx: bool = True
 
     @property
     def out_dim(self) -> int:
@@ -217,7 +222,8 @@ def _drop_path(y, keep_p, mask):
     return jnp.where(m, y * (1.0 / keep_p).astype(y.dtype), jnp.zeros_like(y))
 
 
-def _swin_block(x, bp, heads, w, shift, eps, dp=None, use_kernel=False):
+def _swin_block(x, bp, heads, w, shift, eps, dp=None, use_kernel=False,
+                gelu_approx=True):
     """dp: None, or (keep_prob scalar, (2, B) bool masks) for the two
     residual branches (independent draws, torchvision StochasticDepth)."""
     B, H, W, C = x.shape
@@ -246,7 +252,7 @@ def _swin_block(x, bp, heads, w, shift, eps, dp=None, use_kernel=False):
         y = _drop_path(y, dp[0], dp[1][0])
     x = x + y
     y = _ln(x, bp["norm2"], eps)
-    y = _lin(jax.nn.gelu(_lin(y, bp["fc1"]), approximate=False), bp["fc2"])
+    y = _lin(jax.nn.gelu(_lin(y, bp["fc1"]), approximate=gelu_approx), bp["fc2"])
     if dp is not None:
         y = _drop_path(y, dp[0], dp[1][1])
     return x + y
@@ -309,6 +315,7 @@ def swin_forward(
             t = _swin_block(
                 t, bp, heads, cfg.window, shift, cfg.layernorm_eps, dp,
                 use_kernel=_use_window_kernel(cfg, heads),
+                gelu_approx=cfg.gelu_approx,
             )
             blk += 1
         if "merge" in stage:

@@ -58,6 +58,11 @@ class XCiTConfig:
     #                avoid, the same trade ViT's 'attn+mlp' policy lost.
     #                Kept for larger-HBM parts.
     remat_policy: str = "full"
+    # True = tanh GELU (TPU default — the p8 dissection put the MLPs at
+    # 50.3% of the student step, and erf GELU runs on the VPU's slow
+    # transcendental path; the ViT progression measured the tanh switch,
+    # docs/performance.md). False = exact erf for torch-hub parity.
+    gelu_approx: bool = True
     # Stochastic depth, CONSTANT rate per layer (official XCiT uses
     # dpr = [rate] * depth, unlike ViT's linear ramp), applied per sample
     # to each residual branch (XCA / LPI / MLP, and both cls-attn
@@ -237,19 +242,27 @@ def _xca(tokens, bp, h, dtype):
     return out @ bp["proj"]["kernel"].astype(dtype) + bp["proj"]["bias"].astype(dtype)
 
 
-def _lpi(tokens, bp, gh, gw, eps, dtype):
+def _lpi(tokens, bp, gh, gw, eps, dtype, gelu_approx=True):
     """Local patch interaction: dwconv3x3 -> GELU -> BN(batch stats) ->
-    dwconv3x3, on the (gh, gw) token grid."""
+    dwconv3x3, on the (gh, gw) token grid.
+
+    BN uses the bandwidth-lean one-pass form (models/layers.bn_apply,
+    r5): both moments from one fused f32-accumulated read, normalize
+    folded to x*a + b so the elementwise pass stays in the compute dtype
+    instead of materializing an f32 copy + two-pass variance."""
     B, N, D = tokens.shape
     x = tokens.reshape(B, gh, gw, D)
     x = _conv(x, {"kernel": bp["lpi_conv1"]["kernel"], "bias": bp["lpi_conv1"]["bias"]},
               groups=D)
-    x = jax.nn.gelu(x, approximate=False)
+    x = jax.nn.gelu(x, approximate=gelu_approx)
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=(0, 1, 2))
-    var = x32.var(axis=(0, 1, 2))
-    x = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * bp["lpi_bn"]["scale"]
-         + bp["lpi_bn"]["bias"]).astype(dtype)
+    mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    a = bp["lpi_bn"]["scale"] * inv
+    b = bp["lpi_bn"]["bias"] - mean * a
+    x = x * a.astype(dtype) + b.astype(dtype)
     x = _conv(x, {"kernel": bp["lpi_conv2"]["kernel"], "bias": bp["lpi_conv2"]["bias"]},
               groups=D)
     return x.reshape(B, N, D)
@@ -291,7 +304,7 @@ def xcit_forward(
     for i, conv_p in enumerate(params["stem"]):
         y = _conv(y, conv_p, stride=2)
         if i < len(params["stem"]) - 1:
-            y = jax.nn.gelu(y, approximate=False)
+            y = jax.nn.gelu(y, approximate=cfg.gelu_approx)
     gh, gw = y.shape[1], y.shape[2]
     tokens = y.reshape(B, gh * gw, cfg.embed_dim)
     pos = _fourier_pos(gh, gw, cfg.pos_hidden)
@@ -310,13 +323,14 @@ def xcit_forward(
         t = t + drop(xca_out, masks[0])
         y3 = _ln(t, bp["norm3"], eps)
         lpi_out = checkpoint_name(
-            bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt),
+            bp["gamma3"].astype(dt) * _lpi(y3, bp, gh, gw, eps, dt,
+                                           cfg.gelu_approx),
             "lpi_out",
         )
         t = t + drop(lpi_out, masks[1])
         y2 = _ln(t, bp["norm2"], eps)
         m = _lin(y2, {"kernel": bp["fc1"]["kernel"], "bias": bp["fc1"]["bias"]})
-        m = jax.nn.gelu(m, approximate=False)
+        m = jax.nn.gelu(m, approximate=cfg.gelu_approx)
         m = _lin(m, {"kernel": bp["fc2"]["kernel"], "bias": bp["fc2"]["bias"]})
         t = t + drop(bp["gamma2"].astype(dt) * m, masks[2])
         return t
@@ -354,7 +368,8 @@ def xcit_forward(
         out = _lin(out, bp["proj"])
         cls = cls + drop(bp["gamma1"].astype(dt) * out, cls_masks[i, 0])
         y2 = _ln(cls, bp["norm2"], eps)
-        m = _lin(jax.nn.gelu(_lin(y2, bp["fc1"]), approximate=False), bp["fc2"])
+        m = _lin(jax.nn.gelu(_lin(y2, bp["fc1"]), approximate=cfg.gelu_approx),
+                 bp["fc2"])
         cls = cls + drop(bp["gamma2"].astype(dt) * m, cls_masks[i, 1])
 
     cls = _ln(cls, params["norm"], eps)

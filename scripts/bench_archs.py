@@ -36,8 +36,11 @@ ARCH_SETUPS = {
     "wide_resnet50_2": dict(batch=16, optimizer="lars"),
     "swin_t": dict(batch=16, optimizer="adamw"),
     # p16 is the table default; p8 also trains since XCiTConfig.remat
-    # (72.2 img/s at B=16 — docs/performance.md per-arch table)
-    "xcit_small_12": dict(batch=8, optimizer="adamw", patch_size=16),
+    # (docs/performance.md per-arch table). The r5 tanh-GELU + lean-BN
+    # lever moved the sweep optimum 8 -> 32 (246/276/298/322/323 at
+    # B=8/12/16/24/32 — the erf-GELU-dominated step stopped scaling at
+    # B=8; the lean one keeps scaling to the HBM plateau).
+    "xcit_small_12": dict(batch=32, optimizer="adamw", patch_size=16),
 }
 
 

@@ -402,7 +402,7 @@ def test_swin_import_forward_parity():
 
     cfg = SwinConfig(
         patch_size=2, embed_dim=8, depths=(2, 1), num_heads=(2, 4), window=2,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, gelu_approx=False,
     )
     x = np.random.RandomState(13).randn(2, 8, 8, 3).astype(np.float32)
     with torch.no_grad():
